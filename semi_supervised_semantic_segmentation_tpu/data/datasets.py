@@ -1,0 +1,279 @@
+"""Datasets (rebuilds C1 VOC, C5 Cityscapes, + synthetic test fixture).
+
+Host-side responsibilities are deliberately minimal (BASELINE.json:5 moves
+all transforms on device): decode the image, paste it into a static uint8
+canvas, record the true (h, w).  Every random/geometric/photometric
+transform happens inside the jitted step.
+
+Layout on disk mirrors the reference conventions:
+  VOC 2012 aug:  <root>/JPEGImages/<id>.jpg, <root>/SegmentationClassAug/<id>.png
+  Cityscapes:    <root>/leftImg8bit/<split>/<city>/<id>_leftImg8bit.png
+                 <root>/gtFine/<split>/<city>/<id>_gtFine_labelTrainIds.png
+Split lists (1/16, 1/8, 1/4 labeled fractions) live in
+  <root>/splits/<frac>/labeled.txt + unlabeled.txt
+and are generated deterministically from the sorted id list when absent, so
+runs are reproducible without shipping the reference's txt files (SURVEY C1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from semi_supervised_semantic_segmentation_tpu.config import Config
+
+
+@dataclass
+class Sample:
+    image: np.ndarray  # (H, W, 3) uint8
+    label: np.ndarray  # (H, W) int32; 255 = ignore / unlabeled
+    size: Tuple[int, int]
+    sample_id: str
+
+
+class SegDataset:
+    """Base: an indexable set of (image, label) samples with a static canvas."""
+
+    canvas_hw: Tuple[int, int]
+    ids: List[str]
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get(self, index: int) -> Sample:
+        raise NotImplementedError
+
+
+def split_fraction(split: str) -> float:
+    return {"1_16": 1 / 16, "1_8": 1 / 8, "1_4": 1 / 4, "full": 1.0}[split]
+
+
+def deterministic_split(ids: Sequence[str], split: str, seed: int = 0):
+    """Stable labeled/unlabeled partition: sort ids by (md5(seed+id)), take
+    the first fraction as labeled.  Identical across runs and hosts."""
+    frac = split_fraction(split)
+    ranked = sorted(
+        ids, key=lambda s: hashlib.md5(f"{seed}/{s}".encode()).hexdigest()
+    )
+    n_labeled = max(1, int(round(len(ids) * frac)))
+    labeled = sorted(ranked[:n_labeled])
+    unlabeled = sorted(ranked[n_labeled:]) if frac < 1.0 else list(labeled)
+    return labeled, unlabeled
+
+
+def load_or_make_split(root: str, all_ids: Sequence[str], split: str):
+    """Use checked-in split files when present (reference parity), else the
+    deterministic generator."""
+    d = os.path.join(root, "splits", split)
+    lab_f, unlab_f = os.path.join(d, "labeled.txt"), os.path.join(d, "unlabeled.txt")
+    if os.path.exists(lab_f):
+        with open(lab_f) as f:
+            labeled = [ln.strip() for ln in f if ln.strip()]
+        if os.path.exists(unlab_f):
+            with open(unlab_f) as f:
+                unlabeled = [ln.strip() for ln in f if ln.strip()]
+        else:
+            labeled_set = set(labeled)
+            unlabeled = [i for i in all_ids if i not in labeled_set]
+        return labeled, unlabeled
+    return deterministic_split(all_ids, split)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixture (SURVEY §4.2 Integration tier; config 1 is CPU-runnable)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticDataset(SegDataset):
+    """Deterministic procedural 'blob world': each class paints soft-edged
+    ellipses of a class-specific hue on a textured background.  Pixel-exact
+    reproducible from (seed, index), so loss-decrease and checkpoint-resume
+    integration tests have a stable 32/64-image corpus without real data."""
+
+    def __init__(
+        self,
+        num_classes: int = 4,
+        size: int = 64,
+        image_hw: Tuple[int, int] = (96, 96),
+        seed: int = 0,
+        labeled: bool = True,
+    ):
+        self.num_classes = num_classes
+        self.size = size
+        self.canvas_hw = image_hw
+        self.seed = seed
+        self.labeled = labeled
+        self.ids = [f"syn_{seed}_{i:05d}" for i in range(size)]
+
+    def get(self, index: int) -> Sample:
+        h, w = self.canvas_hw
+        rng = np.random.RandomState(self.seed * 100003 + index)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = rng.rand(h, w, 3).astype(np.float32) * 0.15 + 0.2
+        label = np.zeros((h, w), dtype=np.int32)
+        for c in range(1, self.num_classes):
+            for _ in range(rng.randint(1, 3)):
+                cy, cx = rng.rand(2) * [h, w]
+                ry, rx = rng.rand(2) * [h / 4, w / 4] + 4
+                mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+                hue = np.array(
+                    [((c * 67 + k * 41) % 255) / 255.0 for k in range(3)],
+                    dtype=np.float32,
+                )
+                img[mask] = 0.7 * hue + 0.3 * img[mask]
+                label[mask] = c
+        img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        if not self.labeled:
+            label = np.full((h, w), 255, dtype=np.int32)
+        return Sample(img8, label, (h, w), self.ids[index])
+
+
+# ---------------------------------------------------------------------------
+# Real datasets (decode via PIL; transforms stay on device)
+# ---------------------------------------------------------------------------
+
+
+class VOCDataset(SegDataset):
+    """Pascal VOC 2012 aug (C1): 21 classes, ignore 255, canvas 512x512
+    (VOC images are <= 500 px per side)."""
+
+    def __init__(self, root: str, ids: Sequence[str], labeled: bool = True,
+                 canvas: int = 512):
+        self.root = root
+        self.ids = list(ids)
+        self.labeled = labeled
+        self.canvas_hw = (canvas, canvas)
+
+    @staticmethod
+    def list_ids(root: str, image_set: str = "train") -> List[str]:
+        # Prefer the aug list (trainaug.txt), fall back to directory listing.
+        for cand in (
+            os.path.join(root, "ImageSets", "Segmentation", f"{image_set}aug.txt"),
+            os.path.join(root, "ImageSets", "Segmentation", f"{image_set}.txt"),
+        ):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return [ln.strip().split()[0].split("/")[-1].replace(".jpg", "")
+                            for ln in f if ln.strip()]
+        img_dir = os.path.join(root, "JPEGImages")
+        return sorted(os.path.splitext(p)[0] for p in os.listdir(img_dir))
+
+    def get(self, index: int) -> Sample:
+        from PIL import Image
+
+        sid = self.ids[index]
+        img = np.asarray(
+            Image.open(os.path.join(self.root, "JPEGImages", sid + ".jpg")).convert("RGB"),
+            dtype=np.uint8,
+        )
+        h, w = img.shape[:2]
+        if self.labeled:
+            for lab_dir in ("SegmentationClassAug", "SegmentationClass"):
+                p = os.path.join(self.root, lab_dir, sid + ".png")
+                if os.path.exists(p):
+                    label = np.asarray(Image.open(p), dtype=np.int32)
+                    break
+            else:
+                raise FileNotFoundError(f"no label for {sid}")
+        else:
+            label = np.full((h, w), 255, dtype=np.int32)
+        return Sample(img, label, (h, w), sid)
+
+
+# Cityscapes 33-id -> 19 trainId mapping (for gtFine_labelIds fallback).
+_CITYSCAPES_ID_TO_TRAIN = np.full(256, 255, dtype=np.int32)
+for _train_id, _label_id in enumerate(
+    [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 31, 32, 33]
+):
+    _CITYSCAPES_ID_TO_TRAIN[_label_id] = _train_id
+
+
+class CityscapesDataset(SegDataset):
+    """Cityscapes fine (C5): 19 train classes, canvas 1024x2048."""
+
+    def __init__(self, root: str, ids: Sequence[str], labeled: bool = True,
+                 image_set: str = "train"):
+        self.root = root
+        self.ids = list(ids)
+        self.labeled = labeled
+        self.image_set = image_set
+        self.canvas_hw = (1024, 2048)
+
+    @staticmethod
+    def list_ids(root: str, image_set: str = "train") -> List[str]:
+        base = os.path.join(root, "leftImg8bit", image_set)
+        out = []
+        for city in sorted(os.listdir(base)):
+            for p in sorted(os.listdir(os.path.join(base, city))):
+                if p.endswith("_leftImg8bit.png"):
+                    out.append(f"{city}/{p[: -len('_leftImg8bit.png')]}")
+        return out
+
+    def get(self, index: int) -> Sample:
+        from PIL import Image
+
+        sid = self.ids[index]
+        img = np.asarray(
+            Image.open(
+                os.path.join(self.root, "leftImg8bit", self.image_set, sid + "_leftImg8bit.png")
+            ).convert("RGB"),
+            dtype=np.uint8,
+        )
+        h, w = img.shape[:2]
+        if self.labeled:
+            gt_dir = os.path.join(self.root, "gtFine", self.image_set)
+            p_train = os.path.join(gt_dir, sid + "_gtFine_labelTrainIds.png")
+            p_ids = os.path.join(gt_dir, sid + "_gtFine_labelIds.png")
+            if os.path.exists(p_train):
+                label = np.asarray(Image.open(p_train), dtype=np.int32)
+            else:
+                raw = np.asarray(Image.open(p_ids), dtype=np.int32)
+                label = _CITYSCAPES_ID_TO_TRAIN[np.clip(raw, 0, 255)]
+        else:
+            label = np.full((h, w), 255, dtype=np.int32)
+        return Sample(img, label, (h, w), sid)
+
+
+# ---------------------------------------------------------------------------
+# Factory
+# ---------------------------------------------------------------------------
+
+
+def build_dataset(cfg: Config, role: str):
+    """role: 'labeled' | 'unlabeled' | 'val'."""
+    d = cfg.data
+    if d.dataset == "synthetic":
+        if role == "val":
+            return SyntheticDataset(d.num_classes, max(d.synthetic_size // 2, 8),
+                                    seed=cfg.train.seed + 1, labeled=True)
+        if role == "unlabeled":
+            return SyntheticDataset(d.num_classes, d.synthetic_size,
+                                    seed=cfg.train.seed + 2, labeled=False)
+        n = max(1, int(round(d.synthetic_size * split_fraction(d.split))))
+        return SyntheticDataset(d.num_classes, n, seed=cfg.train.seed, labeled=True)
+
+    if d.dataset == "voc":
+        if role == "val":
+            ids = VOCDataset.list_ids(d.data_root, "val")
+            return VOCDataset(d.data_root, ids, labeled=True,
+                              canvas=max(512, d.crop_size))
+        all_ids = VOCDataset.list_ids(d.data_root, "train")
+        labeled, unlabeled = load_or_make_split(d.data_root, all_ids, d.split)
+        ids = labeled if role == "labeled" else unlabeled
+        return VOCDataset(d.data_root, ids, labeled=(role == "labeled"),
+                          canvas=max(512, d.crop_size))
+
+    if d.dataset == "cityscapes":
+        if role == "val":
+            ids = CityscapesDataset.list_ids(d.data_root, "val")
+            return CityscapesDataset(d.data_root, ids, labeled=True, image_set="val")
+        all_ids = CityscapesDataset.list_ids(d.data_root, "train")
+        labeled, unlabeled = load_or_make_split(d.data_root, all_ids, d.split)
+        ids = labeled if role == "labeled" else unlabeled
+        return CityscapesDataset(d.data_root, ids, labeled=(role == "labeled"))
+
+    raise ValueError(f"unknown dataset: {d.dataset}")

@@ -1,0 +1,101 @@
+"""Model registry: (backbone, decoder) -> flax Module (rebuilds the model
+factory the reference's config surface implies — C7..C10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semi_supervised_semantic_segmentation_tpu.config import Config
+from semi_supervised_semantic_segmentation_tpu.models.deeplab import DeepLabV3Plus
+from semi_supervised_semantic_segmentation_tpu.models.resnet import ResNet
+from semi_supervised_semantic_segmentation_tpu.models.unet import UNetDecoder
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+}
+
+
+class SegModel(nn.Module):
+    """Encoder + decoder; returns (N, H, W, num_classes) f32 logits at input
+    resolution.  ``train=True`` enables BN batch-stat updates + dropout."""
+
+    backbone: str = "resnet50"
+    decoder: str = "deeplabv3plus"
+    num_classes: int = 21
+    output_stride: int = 16
+    norm: str = "batchnorm"
+    bn_momentum: float = 0.9
+    dtype: Any = jnp.bfloat16
+    aspp_dilations: Tuple[int, ...] = (6, 12, 18)
+    decoder_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_hw = (x.shape[1], x.shape[2])
+        if self.backbone.startswith("resnet"):
+            taps = ResNet(
+                arch=self.backbone,
+                output_stride=self.output_stride if self.decoder == "deeplabv3plus" else 32,
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="encoder",
+            )(x, train)
+        elif self.backbone == "hrnet_w48":
+            from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRNet
+
+            taps = HRNet(
+                width=48,
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="encoder",
+            )(x, train)
+        else:
+            raise ValueError(f"unknown backbone: {self.backbone}")
+
+        if self.decoder == "unet":
+            logits = UNetDecoder(
+                num_classes=self.num_classes,
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="decoder",
+            )(taps, out_hw, train)
+        elif self.decoder == "deeplabv3plus":
+            # Scale ASPP rates with the output stride (DeepLab convention:
+            # rates double at os 8).
+            rates = tuple(
+                r * (16 // self.output_stride) for r in self.aspp_dilations
+            )
+            logits = DeepLabV3Plus(
+                num_classes=self.num_classes,
+                features=self.decoder_channels,
+                dilations=rates,
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="decoder",
+            )(taps, out_hw, train)
+        else:
+            raise ValueError(f"unknown decoder: {self.decoder}")
+        return logits
+
+
+def build_model(cfg: Config) -> SegModel:
+    return SegModel(
+        backbone=cfg.model.backbone,
+        decoder=cfg.model.decoder,
+        num_classes=cfg.data.num_classes,
+        output_stride=cfg.model.output_stride,
+        norm=cfg.model.norm,
+        bn_momentum=cfg.model.bn_momentum,
+        dtype=_DTYPES[cfg.model.compute_dtype],
+        aspp_dilations=cfg.model.aspp_dilations,
+        decoder_channels=cfg.model.decoder_channels,
+    )

@@ -1,0 +1,49 @@
+"""Segmentation metrics: confusion matrix and IoU (rebuilds C18/C22).
+
+The confusion matrix accumulates on device with the flattened-bincount trick
+(``bincount(num_classes * target + pred)``), jit-safe (static ``length``),
+and merges across the data mesh with a psum — the host only ever sees one
+(C, C) array per eval pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(
+    pred: jnp.ndarray,
+    label: jnp.ndarray,
+    num_classes: int,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Per-batch (C, C) confusion matrix; rows = ground truth, cols = pred."""
+    pred = pred.reshape(-1).astype(jnp.int32)
+    label = label.reshape(-1).astype(jnp.int32)
+    valid = label != ignore_index
+    # Invalid pixels are routed to an overflow bin that is sliced away.
+    idx = jnp.where(valid, label * num_classes + pred, num_classes * num_classes)
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+    return counts[:-1].reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm) -> tuple[np.ndarray, float]:
+    """(per-class IoU, mIoU) from a (C, C) confusion matrix.
+
+    Classes absent from both gt and pred (union == 0) are excluded from the
+    mean, matching the standard mmseg/semseg evaluator behavior.
+    """
+    cm = np.asarray(cm, dtype=np.float64)
+    inter = np.diag(cm)
+    union = cm.sum(axis=0) + cm.sum(axis=1) - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), np.nan)
+    miou = float(np.nanmean(iou)) if np.any(union > 0) else 0.0
+    return iou, miou
+
+
+def pixel_accuracy(cm) -> float:
+    cm = np.asarray(cm, dtype=np.float64)
+    total = cm.sum()
+    return float(np.diag(cm).sum() / total) if total > 0 else 0.0

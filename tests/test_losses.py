@@ -1,0 +1,91 @@
+"""SSL math unit tests vs NumPy/torch oracles (SURVEY.md §4.2 'Unit: SSL math')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from semi_supervised_semantic_segmentation_tpu.ops import losses
+
+
+def test_cross_entropy_matches_torch_ignore_index():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 8, 8, 5).astype(np.float32)
+    labels = rng.randint(0, 5, (2, 8, 8)).astype(np.int64)
+    labels[0, :2] = 255  # ignored region
+    ours = losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    theirs = F.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(labels),
+        ignore_index=255,
+    )
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_cross_entropy_all_ignored_is_zero():
+    logits = jnp.zeros((1, 4, 4, 3))
+    labels = jnp.full((1, 4, 4), 255, dtype=jnp.int32)
+    assert float(losses.cross_entropy(logits, labels)) == 0.0
+
+
+def test_mse_consistency_matches_torch():
+    rng = np.random.RandomState(1)
+    s = rng.randn(2, 4, 4, 5).astype(np.float32)
+    t = rng.randn(2, 4, 4, 5).astype(np.float32)
+    ours = losses.mse_consistency(jnp.asarray(s), jnp.asarray(t))
+    theirs = F.mse_loss(
+        torch.softmax(torch.from_numpy(s), dim=-1),
+        torch.softmax(torch.from_numpy(t), dim=-1),
+    )
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_confidence_masked_ce_fixmatch_normalization():
+    rng = np.random.RandomState(2)
+    logits = rng.randn(1, 4, 4, 3).astype(np.float32)
+    pseudo = rng.randint(0, 3, (1, 4, 4))
+    conf = np.zeros((1, 4, 4), dtype=bool)
+    conf[0, 0, 0] = True
+    # 'all' normalization: only 1 of 16 pixels contributes, denominator 16.
+    ours = losses.confidence_masked_ce(
+        jnp.asarray(logits), jnp.asarray(pseudo), jnp.asarray(conf), normalize="all"
+    )
+    logp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    pix = -logp[0, 0, 0, pseudo[0, 0, 0]]
+    np.testing.assert_allclose(float(ours), float(pix) / 16.0, rtol=1e-5)
+    # 'masked': denominator is the confident count (1).
+    ours_m = losses.confidence_masked_ce(
+        jnp.asarray(logits), jnp.asarray(pseudo), jnp.asarray(conf), normalize="masked"
+    )
+    np.testing.assert_allclose(float(ours_m), float(pix), rtol=1e-5)
+
+
+def test_zero_conf_mask_gives_zero_loss():
+    logits = jnp.ones((1, 4, 4, 3))
+    pseudo = jnp.zeros((1, 4, 4), dtype=jnp.int32)
+    conf = jnp.zeros((1, 4, 4), dtype=bool)
+    assert float(losses.confidence_masked_ce(logits, pseudo, conf)) == 0.0
+
+
+def test_pseudo_labels_from_logits():
+    logits = jnp.asarray(
+        [[[[5.0, 0.0, 0.0], [0.1, 0.2, 0.3]]]]  # (1,1,2,3)
+    )
+    labels, mask = losses.pseudo_labels_from_logits(logits, conf_thresh=0.9)
+    assert labels.shape == (1, 1, 2)
+    assert int(labels[0, 0, 0]) == 0
+    assert bool(mask[0, 0, 0])  # softmax([5,0,0]) max ~= 0.987 > 0.9
+    assert not bool(mask[0, 0, 1])  # near-uniform
+
+
+def test_cps_loss_symmetric_and_grad_flows_to_logits_only():
+    rng = np.random.RandomState(3)
+    l1 = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    l2 = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    v12 = losses.cps_loss(l1, l2)
+    v21 = losses.cps_loss(l2, l1)
+    np.testing.assert_allclose(float(v12), float(v21), rtol=1e-6)
+    # Gradient exists (stop_gradient only blocks the label path).
+    g = jax.grad(lambda a: losses.cps_loss(a, l2))(l1)
+    assert float(jnp.abs(g).sum()) > 0

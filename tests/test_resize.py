@@ -1,0 +1,61 @@
+"""Bilinear/nearest parity vs torch F.interpolate — SURVEY.md §7 names
+align_corners mismatches a silent 0.5-mIoU killer, so this is exact-parity
+tested for up/downsampling in both conventions before any decoder uses it."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from semi_supervised_semantic_segmentation_tpu.ops import resize
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((8, 8), (32, 32)), ((17, 23), (5, 9)), ((16, 16), (17, 31)), ((1, 7), (4, 4))],
+)
+def test_bilinear_matches_torch(align, in_hw, out_hw):
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, *in_hw, 3).astype(np.float32)
+    ours = np.asarray(resize.resize_bilinear(jnp.asarray(x), out_hw, align_corners=align))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw,
+            mode="bilinear",
+            align_corners=align,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw", [((8, 8), (3, 3)), ((5, 7), (10, 21)), ((9, 4), (9, 4))]
+)
+def test_nearest_matches_torch(in_hw, out_hw):
+    rng = np.random.RandomState(1)
+    x = rng.randint(0, 21, (2, *in_hw)).astype(np.int64)
+    ours = np.asarray(resize.resize_nearest(jnp.asarray(x), out_hw))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x)[:, None].float(), size=out_hw, mode="nearest"
+        )[:, 0]
+        .long()
+        .numpy()
+    )
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_bilinear_identity():
+    x = np.random.RandomState(2).rand(1, 8, 8, 2).astype(np.float32)
+    out = np.asarray(resize.resize_bilinear(jnp.asarray(x), (8, 8)))
+    np.testing.assert_allclose(out, x, atol=1e-6)
+
+
+def test_bilinear_dtype_preserved_for_bf16():
+    x = jnp.ones((1, 8, 8, 3), dtype=jnp.bfloat16)
+    assert resize.resize_bilinear(x, (16, 16)).dtype == jnp.bfloat16
