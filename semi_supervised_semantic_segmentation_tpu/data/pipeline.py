@@ -34,6 +34,9 @@ def _assemble(dataset: SegDataset, indices, canvas_hw: Tuple[int, int], pool) ->
 
     def fill(slot_index):
         slot, index = slot_index
+        if index < 0:  # blank pad slot (eval): all-ignore labels, zero image
+            sizes[slot] = (1, 1)
+            return
         s = dataset.get(int(index))
         h, w = s.size
         h, w = min(h, hc), min(w, wc)
@@ -58,7 +61,9 @@ class Loader:
         num_workers: int = 4,
         prefetch: int = 2,
         canvas_hw: Optional[Tuple[int, int]] = None,
+        pad_mode: str = "wrap",  # 'wrap' (train) | 'blank' (eval: exact count)
     ):
+        self.pad_mode = pad_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -79,10 +84,15 @@ class Loader:
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed * 1_000_003 + epoch).shuffle(order)
-        # Pad up to a full batch by wrapping (keeps shapes static).
+        # Pad up to a full batch (keeps shapes static): 'wrap' repeats samples
+        # (train), 'blank' inserts all-ignore slots so eval counts are exact.
         total = len(self) * self.batch_size
         if total > n:
-            order = np.concatenate([order, order[: total - n]])
+            if self.pad_mode == "wrap":
+                order = np.resize(order, total)  # cyclic repeat
+            else:
+                pad = np.full(total - n, -1, dtype=order.dtype)
+                order = np.concatenate([order, pad])
         return order[:total]
 
     def epoch(self, epoch: int) -> Iterator[Batch]:

@@ -1,0 +1,74 @@
+"""Checkpointing (rebuilds C19 / §3.4) on Orbax.
+
+Saves the full TrainState pytree {params, ema/net2 params, optimizer trace,
+step, rng} plus a JSON metadata blob {epoch, best_miou, config} — the same
+information set as the reference's ``torch.save({'model','ema_model',
+'optimizer','epoch','best_miou'})`` dict.  Async save (Orbax background
+thread) bounds preemption loss to one checkpoint interval (SURVEY §5
+failure-recovery contract).  Torch-format import/export for reference
+interop lives in ``engine.compat``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from semi_supervised_semantic_segmentation_tpu.engine.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        async_save: bool = True,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=async_save,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, meta: dict, force: bool = False):
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+            force=force,
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: TrainState, step: Optional[int] = None
+                ) -> Tuple[TrainState, dict]:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["meta"]
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

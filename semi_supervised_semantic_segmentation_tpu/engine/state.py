@@ -1,0 +1,90 @@
+"""TrainState pytree + optimizer factory (rebuilds C16/C17 state handling).
+
+One state type serves every SSL method:
+  - supervised:       params/batch_stats only
+  - mean_teacher /
+    fixmatch_cutmix:  + ema_params/ema_batch_stats (the teacher)
+  - cps:              params = {'net1': ..., 'net2': ...} (both trained by
+                      one optimizer over the concatenated pytree)
+
+Optimizer = torch-parity SGD: grad += wd * param; buf = momentum * buf + grad;
+param -= lr * buf, with poly LR and a 10x multiplier on decoder ('head')
+params — the universal recipe (SURVEY C16).  The whole schedule traces into
+the jitted step (LR is a function of ``state.step``), so there is no host
+schedule state to checkpoint beyond the step counter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from semi_supervised_semantic_segmentation_tpu.config import Config
+from semi_supervised_semantic_segmentation_tpu.ops.schedules import poly_lr
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # () int32
+    params: Any
+    batch_stats: Any
+    ema_params: Optional[Any]
+    ema_batch_stats: Optional[Any]
+    opt_state: Any
+    rng: jax.Array  # base key; per-step keys are fold_in(rng, step)
+
+
+def head_label_tree(params: Any) -> Any:
+    """Label each leaf 'head' if its path goes through a 'decoder' module,
+    else 'backbone' (drives the 10x decoder LR multiplier)."""
+
+    def label(path, _):
+        for k in path:
+            key = getattr(k, "key", None)
+            if key is not None and str(key).startswith("decoder"):
+                return "head"
+        return "backbone"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformation:
+    o = cfg.optim
+
+    def lr_schedule(step):
+        return poly_lr(step, o.lr, total_steps, o.poly_power)
+
+    def sgd(mult: float) -> optax.GradientTransformation:
+        parts = []
+        if o.weight_decay > 0:
+            parts.append(optax.add_decayed_weights(o.weight_decay))
+        parts.append(optax.trace(decay=o.momentum, nesterov=o.nesterov))
+        parts.append(optax.scale_by_schedule(lambda s: -lr_schedule(s) * mult))
+        return optax.chain(*parts)
+
+    base: optax.GradientTransformation = optax.multi_transform(
+        {"backbone": sgd(1.0), "head": sgd(o.head_lr_mult)},
+        head_label_tree,
+    )
+    if o.grad_clip_norm > 0:
+        base = optax.chain(optax.clip_by_global_norm(o.grad_clip_norm), base)
+    return base
+
+
+def current_lr(cfg: Config, total_steps: int, step: int) -> float:
+    return float(poly_lr(step, cfg.optim.lr, total_steps, cfg.optim.poly_power))
+
+
+def ema_update(ema_tree: Any, new_tree: Any, alpha) -> Any:
+    """theta_t <- alpha * theta_t + (1 - alpha) * theta_s (C12).
+
+    Runs inside the jitted step; with buffer donation the teacher copy is
+    updated in place in HBM (~2x params resident, not 4x — SURVEY §7)."""
+    return jax.tree.map(
+        lambda t, s: (alpha * t + (1.0 - alpha) * s.astype(t.dtype)),
+        ema_tree,
+        new_tree,
+    )

@@ -1,0 +1,220 @@
+"""Training engine (rebuilds C17 + §3.1 call stack, TPU-shaped).
+
+Everything between "fetch batch" and "log scalars" is ONE
+``jit(train_step)`` under the data mesh: on-device aug, teacher forward,
+pseudo-labels/CutMix, student forward/backward, GSPMD-inserted gradient
+psum over ICI, SGD + poly LR, EMA update.  The only host<->device traffic
+per step is the uint8 batch in and (at log intervals) scalar metrics out.
+The TrainState buffer is donated, so params/EMA update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from semi_supervised_semantic_segmentation_tpu.config import Config, save_config
+from semi_supervised_semantic_segmentation_tpu.data.datasets import build_dataset
+from semi_supervised_semantic_segmentation_tpu.data.pipeline import DualLoader, Loader
+from semi_supervised_semantic_segmentation_tpu.engine.checkpoint import CheckpointManager
+from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+    inference_variables,
+    make_eval_step,
+    run_eval,
+)
+from semi_supervised_semantic_segmentation_tpu.methods import get_method
+from semi_supervised_semantic_segmentation_tpu.models import build_model
+from semi_supervised_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+from semi_supervised_semantic_segmentation_tpu.utils.logging import (
+    MetricLogger,
+    setup_logging,
+)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.log = setup_logging(cfg.train.work_dir)
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self.mesh = mesh or mesh_lib.make_mesh(
+            cfg.parallel.data_parallel, cfg.parallel.model_parallel
+        )
+        self.n_data = self.mesh.shape["data"]
+        self.log.info(
+            "mesh: %s over %d device(s), platform=%s",
+            dict(self.mesh.shape), len(self.mesh.devices.flat),
+            self.mesh.devices.flat[0].platform,
+        )
+
+        self.model = build_model(cfg)
+        self.method = get_method(cfg.method.name)
+
+        # Data: labeled loader always; unlabeled only for SSL methods.
+        self.labeled_ds = build_dataset(cfg, "labeled")
+        self.labeled_loader = Loader(
+            self.labeled_ds, cfg.train.labeled_batch_size,
+            seed=cfg.train.seed, num_workers=cfg.data.num_workers,
+        )
+        if self.method.uses_unlabeled:
+            self.unlabeled_ds = build_dataset(cfg, "unlabeled")
+            self.unlabeled_loader = Loader(
+                self.unlabeled_ds, cfg.train.unlabeled_batch_size,
+                seed=cfg.train.seed + 17, num_workers=cfg.data.num_workers,
+            )
+            self.dual = DualLoader(self.labeled_loader, self.unlabeled_loader)
+            self.iters_per_epoch = cfg.train.iters_per_epoch or len(self.dual)
+        else:
+            self.unlabeled_loader = None
+            self.dual = None
+            self.iters_per_epoch = cfg.train.iters_per_epoch or len(self.labeled_loader)
+
+        self.val_ds = build_dataset(cfg, "val")
+        self.val_loader = Loader(
+            self.val_ds, cfg.train.eval_batch_size, shuffle=False,
+            drop_last=False, pad_mode="blank", num_workers=cfg.data.num_workers,
+        )
+
+        self.total_steps = self.iters_per_epoch * cfg.train.epochs
+
+        # State lives replicated on the mesh; batches shard on 'data'.
+        rng = jax.random.key(cfg.train.seed)
+        with jax.default_device(jax.devices()[0]):
+            state = self.method.init_state(cfg, self.model, rng, self.total_steps)
+        self.state = mesh_lib.replicate(state, self.mesh)
+
+        train_step = self.method.make_train_step(cfg, self.model, self.total_steps)
+        self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.eval_step = jax.jit(make_eval_step(cfg, self.model))
+
+        os.makedirs(cfg.train.work_dir, exist_ok=True)
+        save_config(cfg, os.path.join(cfg.train.work_dir, "config.yaml"))
+        self.metrics = MetricLogger(cfg.train.work_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.train.work_dir, "checkpoints"),
+            max_to_keep=cfg.train.keep_checkpoints,
+            async_save=cfg.train.async_checkpoint,
+        )
+        self.start_epoch = 0
+        self.best_miou = 0.0
+        if cfg.train.resume:
+            self._resume(cfg.train.resume)
+
+    # ------------------------------------------------------------------
+    def _resume(self, resume: str):
+        """resume: 'auto' (latest in work_dir), a checkpoint dir, or dir:step."""
+        step = None
+        if resume == "auto":
+            directory = os.path.join(self.cfg.train.work_dir, "checkpoints")
+        elif ":" in resume and resume.rsplit(":", 1)[-1].isdigit():
+            directory, s = resume.rsplit(":", 1)
+            step = int(s)
+        else:
+            directory = resume
+        mgr = (
+            self.ckpt
+            if os.path.abspath(directory) == self.ckpt.directory
+            else CheckpointManager(directory)
+        )
+        if mgr.latest_step() is None:
+            self.log.info("resume requested but no checkpoint found in %s", directory)
+            return
+        state, meta = mgr.restore(self.state, step)
+        self.state = mesh_lib.replicate(state, self.mesh)
+        self.start_epoch = int(meta.get("epoch", 0)) + 1
+        self.best_miou = float(meta.get("best_miou", 0.0))
+        self.log.info(
+            "resumed from %s step=%s -> start_epoch=%d best_miou=%.4f",
+            directory, mgr.latest_step() if step is None else step,
+            self.start_epoch, self.best_miou,
+        )
+
+    # ------------------------------------------------------------------
+    def _batches(self, epoch: int):
+        if self.dual is not None:
+            for lab, unlab in self.dual.epoch(epoch):
+                yield (
+                    mesh_lib.shard_batch(lab, self.mesh),
+                    mesh_lib.shard_batch(unlab, self.mesh),
+                )
+        else:
+            for lab in self.labeled_loader.epoch(epoch):
+                yield (mesh_lib.shard_batch(lab, self.mesh), None)
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        t0 = time.time()
+        n_img = 0
+        last = {}
+        profiled = False
+        for i, (lab, unlab) in enumerate(self._batches(epoch)):
+            if (
+                cfg.train.profile_steps > 0
+                and epoch == self.start_epoch
+                and i == 2  # skip compile steps
+                and not profiled
+            ):
+                jax.profiler.start_trace(os.path.join(cfg.train.work_dir, "profile"))
+                profiled = True
+            if self.dual is not None:
+                self.state, last = self.train_step(self.state, lab, unlab)
+                n_img += lab["image"].shape[0] + unlab["image"].shape[0]
+            else:
+                self.state, last = self.train_step(self.state, lab)
+                n_img += lab["image"].shape[0]
+            if profiled and i == 2 + cfg.train.profile_steps:
+                jax.tree.map(lambda x: x.block_until_ready(), last)
+                jax.profiler.stop_trace()
+                profiled = False
+            step = i + epoch * self.iters_per_epoch
+            if (i + 1) % cfg.train.log_interval == 0 or i + 1 == self.iters_per_epoch:
+                host = {k: float(v) for k, v in jax.device_get(last).items()}
+                ips = n_img / (time.time() - t0)
+                host["images_per_sec"] = ips
+                self.metrics.log_scalars(step, host, "train")
+                self.log.info(
+                    "epoch %d iter %d/%d loss=%.4f lr=%.5f %.1f img/s",
+                    epoch, i + 1, self.iters_per_epoch,
+                    host.get("loss", 0.0), host.get("lr", 0.0), ips,
+                )
+        return last
+
+    def evaluate(self, epoch: int):
+        params, stats = inference_variables(self.state, self.method)
+        t0 = time.time()
+        iou, miou, acc = run_eval(
+            lambda p, s, b: self.eval_step(p, s, mesh_lib.shard_batch(b, self.mesh)),
+            params, stats, self.val_loader, epoch=0,
+        )
+        self.log.info(
+            "eval epoch %d: mIoU=%.4f acc=%.4f (%.1fs) per-class IoU=%s",
+            epoch, miou, acc, time.time() - t0,
+            np.array2string(np.asarray(iou), precision=3),
+        )
+        self.metrics.log_scalars(epoch, {"miou": miou, "acc": acc}, "val")
+        return miou
+
+    def fit(self) -> float:
+        cfg = self.cfg
+        miou = 0.0
+        for epoch in range(self.start_epoch, cfg.train.epochs):
+            self.train_epoch(epoch)
+            if (epoch + 1) % cfg.train.eval_interval == 0 or epoch + 1 == cfg.train.epochs:
+                miou = self.evaluate(epoch)
+                if miou > self.best_miou:
+                    self.best_miou = miou
+            if (epoch + 1) % cfg.train.checkpoint_interval == 0 or epoch + 1 == cfg.train.epochs:
+                self.ckpt.save(
+                    int(jax.device_get(self.state.step)),
+                    jax.device_get(self.state),
+                    {"epoch": epoch, "best_miou": self.best_miou,
+                     "miou": miou, "config": cfg.to_dict()},
+                )
+        self.ckpt.wait()
+        self.metrics.close()
+        return self.best_miou

@@ -1,0 +1,119 @@
+"""Shared plumbing for SSL methods: on-device aug invocation, model apply
+helpers, and state initialization.  Methods are pure loss-builders over the
+same engine (SURVEY §7 step 7): each module exposes
+
+  init_state(cfg, model, rng)                      -> TrainState
+  make_train_step(cfg, model, total_steps)         -> step(state, lab, unlab)
+
+and ``step`` is a pure jittable function: ONE XLA program containing aug,
+teacher+student forwards, losses, backward, psum (inserted by GSPMD), SGD,
+and the EMA update (BASELINE.json:5 "no host round-trips").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semi_supervised_semantic_segmentation_tpu.config import Config
+from semi_supervised_semantic_segmentation_tpu.engine.state import (
+    TrainState,
+    make_optimizer,
+)
+from semi_supervised_semantic_segmentation_tpu.ops import augment
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def step_key(state: TrainState) -> jax.Array:
+    """Deterministic per-step key: fold the step counter into the base key
+    (same seed => same augmentation stream regardless of mesh or resume)."""
+    return jax.random.fold_in(state.rng, state.step)
+
+
+def weak_view(cfg: Config, batch: Batch, key: jax.Array):
+    """uint8 canvas batch -> ([0,1] f32 crop view, int32 labels)."""
+    d = cfg.data
+    return augment.weak_augment_batch(
+        batch["image"],
+        batch["label"],
+        batch["size"],
+        key,
+        crop_size=d.crop_size,
+        scale_min=d.scale_min,
+        scale_max=d.scale_max,
+        hflip_prob=d.hflip_prob,
+        fill_rgb=tuple(d.mean),
+        ignore_index=d.ignore_index,
+    )
+
+
+def strong_view(cfg: Config, images01: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    d = cfg.data
+    return augment.strong_augment_batch(
+        images01,
+        key,
+        jitter_prob=d.jitter_prob,
+        brightness=d.jitter_brightness,
+        contrast=d.jitter_contrast,
+        saturation=d.jitter_saturation,
+        hue=d.jitter_hue,
+        grayscale_prob=d.grayscale_prob,
+        blur_prob=d.blur_prob,
+        blur_kernel=augment.blur_kernel_size(d.crop_size),
+    )
+
+
+def normalize(cfg: Config, images01: jnp.ndarray, dtype) -> jnp.ndarray:
+    return augment.normalize_images(images01, tuple(cfg.data.mean), tuple(cfg.data.std), dtype)
+
+
+def model_dtype(model) -> Any:
+    return model.dtype
+
+
+def apply_train(model, params, batch_stats, x, dropout_key):
+    """Student forward with BN batch-stat update; returns (logits, new_stats)."""
+    out, updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": dropout_key},
+    )
+    return out, updates["batch_stats"]
+
+
+def apply_eval(model, params, batch_stats, x):
+    """Inference forward (running BN stats, no dropout)."""
+    return model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
+
+
+def init_model_variables(cfg: Config, model, rng: jax.Array):
+    x = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), model.dtype)
+    variables = model.init({"params": rng}, x, train=False)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def base_state(
+    cfg: Config,
+    params: Any,
+    batch_stats: Any,
+    total_steps: int,
+    rng: jax.Array,
+    with_ema: bool,
+) -> TrainState:
+    tx = make_optimizer(cfg, total_steps)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
+        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if with_ema else None,
+        opt_state=tx.init(params),
+        rng=rng,
+    )

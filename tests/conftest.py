@@ -1,6 +1,11 @@
 """Test harness setup: force the CPU backend with 8 virtual devices so
 distributed (DP/psum) semantics are testable without a TPU pod
-(SURVEY.md §4.2 "Distributed (no cluster)").  Must run before jax imports.
+(SURVEY.md §4.2 "Distributed (no cluster)").
+
+Note: this environment's axon sitecustomize force-registers the TPU backend
+and pins ``jax_platforms`` via config.update at interpreter start, so the
+``JAX_PLATFORMS`` env var alone is NOT enough — we must update the jax
+config explicitly (env set first so a non-axon environment behaves too).
 """
 
 import os
@@ -11,3 +16,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
