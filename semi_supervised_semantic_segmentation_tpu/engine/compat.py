@@ -1,0 +1,298 @@
+"""Reference (torch) checkpoint interop (rebuilds C19's format contract +
+N7: "same checkpoint format" via an import/export path, SURVEY §3.4).
+
+Three layers:
+  1. Tensor-level: OIHW<->HWIO conv transpose + BatchNorm param/stat split
+     (torch weight/bias/running_mean/running_var <-> flax scale/bias +
+     batch_stats mean/var).
+  2. torchvision ResNet state-dicts -> our flax ResNet encoder params
+     (ImageNet-pretrained init, C7), including dilated variants (weights are
+     stride/dilation-agnostic).
+  3. Reference-layout checkpoint files: ``torch.save({'model', 'ema_model' |
+     'model2', 'optimizer_step', 'epoch', 'best_miou'})`` import/export so a
+     reference user can bring checkpoints over and take ours back.
+
+torch is only imported inside functions (CPU wheel, host-side only).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Tensor-level converters
+# ---------------------------------------------------------------------------
+
+
+def conv_torch_to_flax(w: np.ndarray) -> np.ndarray:
+    """(O, I, H, W) -> (H, W, I, O)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def conv_flax_to_torch(w: np.ndarray) -> np.ndarray:
+    """(H, W, I, O) -> (O, I, H, W)."""
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Pytree <-> flat dotted dicts (our canonical torch-layout export)
+# ---------------------------------------------------------------------------
+
+
+def flatten_params_to_torch_layout(
+    params: Any, batch_stats: Any
+) -> Dict[str, np.ndarray]:
+    """Flatten a flax variable tree into a flat torch-convention dict:
+    convs exported OIHW under '<path>.weight'; BatchNorm exported as
+    weight/bias/running_mean/running_var; Dense as weight (out,in)/bias."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(prefix, node, stats_node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(
+                    prefix + [k],
+                    v,
+                    stats_node.get(k, {}) if isinstance(stats_node, dict) else {},
+                )
+            return
+        raise TypeError(f"unexpected leaf container at {prefix}")
+
+    def emit(path, leaf_name, arr):
+        out[".".join(path + [leaf_name])] = np.asarray(arr)
+
+    def walk2(prefix, node, stats_node):
+        for k, v in node.items():
+            stats_v = stats_node.get(k, {}) if isinstance(stats_node, dict) else {}
+            if isinstance(v, dict):
+                if set(v) >= {"scale", "bias"} and not isinstance(v["scale"], dict):
+                    # BatchNorm/GroupNorm params
+                    base = prefix + [k]
+                    emit(base, "weight", v["scale"])
+                    emit(base, "bias", v["bias"])
+                    if isinstance(stats_v, dict) and "mean" in stats_v:
+                        emit(base, "running_mean", stats_v["mean"])
+                        emit(base, "running_var", stats_v["var"])
+                elif set(v) >= {"kernel"} and not isinstance(v["kernel"], dict):
+                    base = prefix + [k]
+                    kern = np.asarray(v["kernel"])
+                    if kern.ndim == 4:
+                        emit(base, "weight", conv_flax_to_torch(kern))
+                    elif kern.ndim == 2:
+                        emit(base, "weight", np.ascontiguousarray(kern.T))
+                    else:
+                        emit(base, "weight", kern)
+                    if "bias" in v:
+                        emit(base, "bias", v["bias"])
+                else:
+                    walk2(prefix + [k], v, stats_v)
+            else:
+                emit(prefix, k, v)
+
+    walk2([], params, batch_stats if isinstance(batch_stats, dict) else {})
+    return out
+
+
+def unflatten_torch_layout(
+    flat: Dict[str, np.ndarray], params_template: Any, stats_template: Any
+) -> Tuple[Any, Any]:
+    """Inverse of flatten_params_to_torch_layout, shaped by templates."""
+    import jax
+
+    params = jax.tree.map(lambda x: None, params_template)
+    stats = jax.tree.map(lambda x: None, stats_template)
+
+    def set_in(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = value
+
+    def to_mutable(t):
+        if isinstance(t, dict):
+            return {k: to_mutable(v) for k, v in t.items()}
+        return t
+
+    params = to_mutable(params)
+    stats = to_mutable(stats)
+
+    def fill(template, tree, stats_tree, prefix):
+        for k, v in template.items():
+            if isinstance(v, dict):
+                if set(v) >= {"scale", "bias"} and not isinstance(v["scale"], dict):
+                    base = ".".join(prefix + [k])
+                    set_in(tree, [*prefix, k, "scale"], flat[base + ".weight"])
+                    set_in(tree, [*prefix, k, "bias"], flat[base + ".bias"])
+                    if base + ".running_mean" in flat:
+                        set_in(stats_tree, [*prefix, k, "mean"], flat[base + ".running_mean"])
+                        set_in(stats_tree, [*prefix, k, "var"], flat[base + ".running_var"])
+                elif set(v) >= {"kernel"} and not isinstance(v["kernel"], dict):
+                    base = ".".join(prefix + [k])
+                    w = np.asarray(flat[base + ".weight"])
+                    tmpl = np.asarray(v["kernel"]) if not isinstance(v["kernel"], dict) else None
+                    if w.ndim == 4:
+                        w = conv_torch_to_flax(w)
+                    elif w.ndim == 2:
+                        w = np.ascontiguousarray(w.T)
+                    set_in(tree, [*prefix, k, "kernel"], w.astype(np.asarray(tmpl).dtype))
+                    if "bias" in v:
+                        set_in(tree, [*prefix, k, "bias"], flat[base + ".bias"])
+                else:
+                    fill(v, tree, stats_tree, prefix + [k])
+            else:
+                set_in(tree, [*prefix, k], flat[".".join(prefix + [k])])
+
+    # Template walk needs raw arrays; use the original templates.
+    fill(params_template, params, stats, [])
+
+    def fill_missing_stats(tmpl, node):
+        if isinstance(tmpl, dict):
+            for k, v in tmpl.items():
+                if isinstance(v, dict):
+                    fill_missing_stats(v, node[k])
+                elif node[k] is None:
+                    node[k] = np.asarray(v)
+
+    fill_missing_stats(stats_template, stats)
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet -> our encoder
+# ---------------------------------------------------------------------------
+
+_TV_BLOCK = re.compile(r"^layer(\d+)\.(\d+)\.(.+)$")
+
+
+def torchvision_resnet_to_flax(
+    sd: Dict[str, Any], params_template: Any, stats_template: Any
+) -> Tuple[Any, Any]:
+    """Map a torchvision ResNet state-dict onto our encoder param tree.
+
+    Name map (torchvision -> ours):
+      conv1/bn1                    -> stem.Conv_0 / stem.Norm_0.BatchNorm_0
+      layerL.B.convK/bnK           -> layerL_B.convK.{Conv_0, Norm_0...}
+      layerL.B.downsample.0/1      -> layerL_B.downsample.{Conv_0, Norm_0...}
+      fc.*                         -> dropped (no classification head here)
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_conv(our_base: str, w):
+        flat[f"{our_base}.Conv_0.weight"] = np.asarray(w)
+
+    def put_bn(our_base: str, tv_base: str):
+        bn = f"{our_base}.Norm_0.BatchNorm_0"
+        flat[f"{bn}.weight"] = np.asarray(sd[f"{tv_base}.weight"])
+        flat[f"{bn}.bias"] = np.asarray(sd[f"{tv_base}.bias"])
+        flat[f"{bn}.running_mean"] = np.asarray(sd[f"{tv_base}.running_mean"])
+        flat[f"{bn}.running_var"] = np.asarray(sd[f"{tv_base}.running_var"])
+
+    put_conv("stem", sd["conv1.weight"])
+    put_bn("stem", "bn1")
+    for key in sd:
+        m = _TV_BLOCK.match(key)
+        if not m:
+            continue
+        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        ours = f"layer{stage}_{block}"
+        if rest.startswith("conv") and rest.endswith(".weight"):
+            k = rest[4]
+            put_conv(f"{ours}.conv{k}", sd[key])
+        elif rest.startswith("bn") and rest.endswith(".weight"):
+            k = rest[2]
+            put_bn(f"{ours}.conv{k}", f"layer{stage}.{block}.bn{k}")
+        elif rest == "downsample.0.weight":
+            put_conv(f"{ours}.downsample", sd[key])
+        elif rest == "downsample.1.weight":
+            put_bn(f"{ours}.downsample", f"layer{stage}.{block}.downsample.1")
+    return unflatten_torch_layout(flat, params_template, stats_template)
+
+
+def load_pretrained_encoder(path: str, params: Any, batch_stats: Any):
+    """Load a torch(vision) ResNet state-dict file into the 'encoder' subtree
+    of a SegModel param tree.  Accepts .pt/.pth (torch.load) or .npz."""
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    enc_params, enc_stats = torchvision_resnet_to_flax(
+        sd, params["encoder"], batch_stats.get("encoder", {})
+    )
+    new_params = dict(params)
+    new_params["encoder"] = enc_params
+    new_stats = dict(batch_stats)
+    new_stats["encoder"] = enc_stats
+    return new_params, new_stats
+
+
+# ---------------------------------------------------------------------------
+# Reference-layout checkpoint files (torch.save dict)
+# ---------------------------------------------------------------------------
+
+
+def export_reference_checkpoint(path: str, state, meta: Optional[dict] = None):
+    """Write the reference's checkpoint layout:
+    {'model': flat torch-layout dict, 'ema_model'|'model2': ..., 'epoch',
+    'best_miou', 'step'} via torch.save."""
+    import jax
+    import torch
+
+    meta = meta or {}
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    out: Dict[str, Any] = {
+        "epoch": int(meta.get("epoch", 0)),
+        "best_miou": float(meta.get("best_miou", 0.0)),
+        "step": int(jax.device_get(state.step)),
+    }
+
+    def as_torch(flat):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flat.items()}
+
+    if isinstance(params, dict) and "net1" in params:  # CPS dual nets
+        out["model"] = as_torch(flatten_params_to_torch_layout(params["net1"], stats["net1"]))
+        out["model2"] = as_torch(flatten_params_to_torch_layout(params["net2"], stats["net2"]))
+    else:
+        out["model"] = as_torch(flatten_params_to_torch_layout(params, stats))
+        if state.ema_params is not None:
+            out["ema_model"] = as_torch(
+                flatten_params_to_torch_layout(
+                    jax.device_get(state.ema_params),
+                    jax.device_get(state.ema_batch_stats),
+                )
+            )
+    torch.save(out, path)
+
+
+def import_reference_checkpoint(path: str, state):
+    """Read a reference-layout torch checkpoint into a TrainState (params,
+    batch_stats, ema/net2 when present).  Optimizer state is NOT carried
+    (momentum buffers restart — same behavior as cross-framework resumes)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    to_np = lambda d: {k: v.numpy() for k, v in d.items()}
+    params, stats = state.params, state.batch_stats
+    if "model2" in obj and isinstance(params, dict) and "net1" in params:
+        p1, s1 = unflatten_torch_layout(to_np(obj["model"]), params["net1"], stats["net1"])
+        p2, s2 = unflatten_torch_layout(to_np(obj["model2"]), params["net2"], stats["net2"])
+        new_params = {"net1": p1, "net2": p2}
+        new_stats = {"net1": s1, "net2": s2}
+        return state.replace(params=new_params, batch_stats=new_stats,
+                             step=np.int32(obj.get("step", 0)))
+    p, s = unflatten_torch_layout(to_np(obj["model"]), params, stats)
+    kw = dict(params=p, batch_stats=s, step=np.int32(obj.get("step", 0)))
+    if "ema_model" in obj and state.ema_params is not None:
+        ep, es = unflatten_torch_layout(
+            to_np(obj["ema_model"]), state.ema_params, state.ema_batch_stats
+        )
+        kw.update(ema_params=ep, ema_batch_stats=es)
+    return state.replace(**kw)

@@ -96,7 +96,17 @@ def apply_eval(model, params, batch_stats, x):
 def init_model_variables(cfg: Config, model, rng: jax.Array):
     x = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), model.dtype)
     variables = model.init({"params": rng}, x, train=False)
-    return variables["params"], variables.get("batch_stats", {})
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if cfg.model.pretrained:
+        # ImageNet-pretrained encoder init from a torch(vision) state-dict
+        # (C7; OIHW->HWIO + BN mapping via the compat layer).
+        from semi_supervised_semantic_segmentation_tpu.engine import compat
+
+        params, batch_stats = compat.load_pretrained_encoder(
+            cfg.model.pretrained, params, batch_stats
+        )
+    return params, batch_stats
 
 
 def base_state(

@@ -1,0 +1,140 @@
+"""HRNet-W48 encoder (rebuilds C8) — HRNetV2 topology in flax/NHWC.
+
+Structure (standard HRNet-W48):
+  stem: two 3x3 stride-2 Conv-BN-ReLU (-> stride 4, 64 ch)
+  layer1: 4 Bottleneck(64) -> 256 ch @ s4
+  transition1 -> branches [48, 96]
+  stage2: 1 module  x branches [48, 96],        4 BasicBlocks each + fusion
+  transition2 -> + branch 192
+  stage3: 4 modules x branches [48, 96, 192]
+  transition3 -> + branch 384
+  stage4: 3 modules x branches [48, 96, 192, 384]
+
+Cross-resolution fusion: j->i uses 1x1 Conv-BN + bilinear upsample (j > i)
+or chained 3x3 stride-2 Conv-BNs (j < i), summed then ReLU — all resizes via
+the torch-parity bilinear (align_corners=False).
+
+For the shared decoder interface the branches map onto pyramid taps:
+  c1 = stem conv1 output (s2, 64) ... c5 = branch3 (s32, 384)
+so the U-Net decoder (config 5 pairs HRNet with 'unet') consumes HRNet
+exactly like a ResNet pyramid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semi_supervised_semantic_segmentation_tpu.models.layers import ConvNormAct
+from semi_supervised_semantic_segmentation_tpu.models.resnet import BasicBlock, Bottleneck
+from semi_supervised_semantic_segmentation_tpu.ops.resize import resize_bilinear
+
+
+class HRModule(nn.Module):
+    channels: Tuple[int, ...]
+    num_blocks: int = 4
+    norm: str = "batchnorm"
+    bn_momentum: float = 0.9
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray], train: bool = False):
+        n = len(self.channels)
+        ys = []
+        for i, c in enumerate(self.channels):
+            x = xs[i]
+            for b in range(self.num_blocks):
+                x = BasicBlock(
+                    planes=c,
+                    downsample=(b == 0 and x.shape[-1] != c),
+                    norm=self.norm,
+                    bn_momentum=self.bn_momentum,
+                    dtype=self.dtype,
+                    name=f"branch{i}_block{b}",
+                )(x, train)
+            ys.append(x)
+
+        outs = []
+        for i in range(n):
+            acc = ys[i]
+            for j in range(n):
+                if j == i:
+                    continue
+                if j > i:
+                    # lower res -> 1x1 conv + bilinear upsample to res i
+                    t = ConvNormAct(
+                        self.channels[i], (1, 1), act=False, norm=self.norm,
+                        bn_momentum=self.bn_momentum, dtype=self.dtype,
+                        name=f"fuse_up_{j}_to_{i}",
+                    )(ys[j], train)
+                    t = resize_bilinear(
+                        t, (ys[i].shape[1], ys[i].shape[2]), align_corners=False
+                    ).astype(acc.dtype)
+                else:
+                    # higher res -> chained stride-2 3x3 convs
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        t = ConvNormAct(
+                            self.channels[i] if last else self.channels[j],
+                            (3, 3), strides=(2, 2), act=not last,
+                            norm=self.norm, bn_momentum=self.bn_momentum,
+                            dtype=self.dtype, name=f"fuse_down_{j}_to_{i}_{k}",
+                        )(t, train)
+                acc = acc + t
+            outs.append(nn.relu(acc))
+        return outs
+
+
+class HRNet(nn.Module):
+    width: int = 48
+    norm: str = "batchnorm"
+    bn_momentum: float = 0.9
+    dtype: Any = jnp.bfloat16
+    # (num_modules, num_branches) per stage 2..4; 4 blocks per branch.
+    stage_modules: Tuple[int, int, int] = (1, 4, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        w = self.width
+        widths = (w, 2 * w, 4 * w, 8 * w)
+        kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
+
+        x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
+        c1 = x  # stride 2
+        x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem2", **kw)(x, train)
+
+        for b in range(4):
+            x = Bottleneck(
+                planes=64, downsample=(b == 0), name=f"layer1_{b}", **kw
+            )(x, train)  # -> 256 ch @ s4
+
+        # transition1: 256 -> [48, 96(s8)]
+        b0 = ConvNormAct(widths[0], (3, 3), name="transition1_0", **kw)(x, train)
+        b1 = ConvNormAct(
+            widths[1], (3, 3), strides=(2, 2), name="transition1_1", **kw
+        )(x, train)
+        xs = [b0, b1]
+
+        for m in range(self.stage_modules[0]):
+            xs = HRModule(widths[:2], name=f"stage2_m{m}", **kw)(xs, train)
+
+        xs.append(
+            ConvNormAct(
+                widths[2], (3, 3), strides=(2, 2), name="transition2_2", **kw
+            )(xs[-1], train)
+        )
+        for m in range(self.stage_modules[1]):
+            xs = HRModule(widths[:3], name=f"stage3_m{m}", **kw)(xs, train)
+
+        xs.append(
+            ConvNormAct(
+                widths[3], (3, 3), strides=(2, 2), name="transition3_3", **kw
+            )(xs[-1], train)
+        )
+        for m in range(self.stage_modules[2]):
+            xs = HRModule(widths[:4], name=f"stage4_m{m}", **kw)(xs, train)
+
+        return {"c1": c1, "c2": xs[0], "c3": xs[1], "c4": xs[2], "c5": xs[3]}

@@ -1,0 +1,56 @@
+"""Reference-layout (torch.save) checkpoint export/import roundtrip
+(C19 'same checkpoint format' contract, SURVEY §3.4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from semi_supervised_semantic_segmentation_tpu.engine import compat
+from semi_supervised_semantic_segmentation_tpu.methods import get_method
+from semi_supervised_semantic_segmentation_tpu.models import build_model
+
+from .helpers import tiny_cfg
+
+
+def _trees_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+@pytest.mark.parametrize("method_name", ["fixmatch_cutmix", "cps"])
+def test_reference_checkpoint_roundtrip(method_name, tmp_path):
+    cfg = tiny_cfg(method_name, crop=32)
+    model = build_model(cfg)
+    method = get_method(method_name)
+    state = method.init_state(cfg, model, jax.random.key(1), total_steps=10)
+    path = str(tmp_path / "ref_ckpt.pth")
+    compat.export_reference_checkpoint(path, state, {"epoch": 3, "best_miou": 0.42})
+
+    # Import into a differently-initialized state: params must become equal.
+    other = method.init_state(cfg, model, jax.random.key(2), total_steps=10)
+    restored = compat.import_reference_checkpoint(path, other)
+    _trees_equal(state.params, restored.params)
+    _trees_equal(state.batch_stats, restored.batch_stats)
+    if state.ema_params is not None:
+        _trees_equal(state.ema_params, restored.ema_params)
+        _trees_equal(state.ema_batch_stats, restored.ema_batch_stats)
+
+
+def test_exported_dict_layout_matches_reference(tmp_path):
+    """The file must contain the reference's keys: model, ema_model (or
+    model2), epoch, best_miou."""
+    import torch
+
+    cfg = tiny_cfg("mean_teacher", crop=32)
+    model = build_model(cfg)
+    method = get_method("mean_teacher")
+    state = method.init_state(cfg, model, jax.random.key(0), total_steps=10)
+    path = str(tmp_path / "ckpt.pth")
+    compat.export_reference_checkpoint(path, state, {"epoch": 1, "best_miou": 0.1})
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    assert {"model", "ema_model", "epoch", "best_miou"} <= set(obj)
+    # Conv weights are torch-layout (O, I, H, W).
+    w = obj["model"]["encoder.stem.Conv_0.weight"]
+    assert w.shape == (64, 3, 7, 7)
+    # BN stats present.
+    assert "encoder.stem.Norm_0.BatchNorm_0.running_mean" in obj["model"]
