@@ -19,11 +19,25 @@ from semi_supervised_semantic_segmentation_tpu.methods import common
 from semi_supervised_semantic_segmentation_tpu.ops import augment, metrics
 
 
+def _window_starts(size: int, crop: int, stride: int):
+    """Sliding-window start offsets, torch-semseg convention: every stride,
+    plus a final window flush to the edge."""
+    if size <= crop:
+        return [0]
+    starts = list(range(0, size - crop, stride))
+    starts.append(size - crop)
+    return sorted(set(starts))
+
+
 def make_eval_step(cfg: Config, model):
+    """Whole-image eval (VOC) or sliding-window tiling (Cityscapes high-res,
+    cfg.data.eval_mode='sliding'): overlapping crop_size windows, logits
+    averaged in overlaps, then argmax -> confusion matrix.  The window grid
+    is static, so the whole tiling unrolls into one XLA program."""
     num_classes = cfg.data.num_classes
     mean, std = tuple(cfg.data.mean), tuple(cfg.data.std)
 
-    def eval_step(params, batch_stats, batch):
+    def whole(params, batch_stats, batch):
         x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
         logits = common.apply_eval(model, params, batch_stats, x)
         pred = jnp.argmax(logits, axis=-1)
@@ -31,7 +45,42 @@ def make_eval_step(cfg: Config, model):
             pred, batch["label"], num_classes, cfg.data.ignore_index
         )
 
-    return eval_step
+    if cfg.data.eval_mode != "sliding":
+        return whole
+
+    crop = cfg.data.crop_size
+    stride = cfg.data.eval_stride or (crop * 2 // 3)
+
+    def sliding(params, batch_stats, batch):
+        x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
+        n, h, w, _ = x.shape
+        acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
+        cnt = jnp.zeros((1, h, w, 1), jnp.float32)
+        for y0 in _window_starts(h, crop, stride):
+            for x0 in _window_starts(w, crop, stride):
+                win = jax.lax.dynamic_slice(
+                    x, (0, y0, x0, 0), (n, min(crop, h), min(crop, w), 3)
+                )
+                logits = common.apply_eval(model, params, batch_stats, win)
+                acc = jax.lax.dynamic_update_slice(
+                    acc,
+                    jax.lax.dynamic_slice(
+                        acc, (0, y0, x0, 0), logits.shape
+                    ) + logits.astype(jnp.float32),
+                    (0, y0, x0, 0),
+                )
+                ones = jnp.ones((1,) + logits.shape[1:3] + (1,), jnp.float32)
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt,
+                    jax.lax.dynamic_slice(cnt, (0, y0, x0, 0), ones.shape) + ones,
+                    (0, y0, x0, 0),
+                )
+        pred = jnp.argmax(acc / jnp.maximum(cnt, 1.0), axis=-1)
+        return metrics.confusion_matrix(
+            pred, batch["label"], num_classes, cfg.data.ignore_index
+        )
+
+    return sliding
 
 
 def inference_variables(state, method_module):

@@ -34,7 +34,10 @@ class TrainState(struct.PyTreeNode):
     ema_params: Optional[Any]
     ema_batch_stats: Optional[Any]
     opt_state: Any
-    rng: jax.Array  # base key; per-step keys are fold_in(rng, step)
+    # Base RNG stored as raw key *data* (uint32) so the state pytree is
+    # plain-array serializable (Orbax/numpy); wrap with
+    # jax.random.wrap_key_data before use.  Per-step keys: fold_in(key, step).
+    rng: jax.Array
 
 
 def head_label_tree(params: Any) -> Any:

@@ -30,7 +30,7 @@ Batch = Dict[str, jnp.ndarray]
 def step_key(state: TrainState) -> jax.Array:
     """Deterministic per-step key: fold the step counter into the base key
     (same seed => same augmentation stream regardless of mesh or resume)."""
-    return jax.random.fold_in(state.rng, state.step)
+    return jax.random.fold_in(jax.random.wrap_key_data(state.rng), state.step)
 
 
 def weak_view(cfg: Config, batch: Batch, key: jax.Array):
@@ -125,5 +125,5 @@ def base_state(
         ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
         ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if with_ema else None,
         opt_state=tx.init(params),
-        rng=rng,
+        rng=jax.random.key_data(rng),
     )

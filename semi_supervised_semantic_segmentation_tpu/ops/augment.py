@@ -156,24 +156,40 @@ def gaussian_blur(
     """Separable Gaussian blur of (B, H, W, C) with per-sample sigma.
 
     torchvision GaussianBlur semantics: gaussian taps normalized to sum 1,
-    reflect padding.  ``kernel_size`` is static; implemented as a static
-    shift-and-accumulate that XLA fuses into two vector passes.
+    reflect padding.  Per-sample kernels are expressed as ONE depthwise
+    (grouped) convolution per axis by folding the batch into the channel
+    axis — two compact XLA conv ops instead of an unrolled tap sum (compile
+    time and VPU efficiency both depend on this).
     """
     b, h, w, c = img.shape
     r = kernel_size // 2
+    k = kernel_size
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     wts = jnp.exp(-(x**2) / (2.0 * sigma[:, None] ** 2))  # (B, k)
     wts = wts / jnp.sum(wts, axis=1, keepdims=True)
 
-    pad_w = jnp.pad(img, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
-    out = jnp.zeros_like(img)
-    for i in range(kernel_size):
-        out = out + pad_w[:, :, i : i + w, :] * wts[:, i][:, None, None, None]
-    pad_h = jnp.pad(out, ((0, 0), (r, r), (0, 0), (0, 0)), mode="reflect")
-    out = jnp.zeros_like(img)
-    for i in range(kernel_size):
-        out = out + pad_h[:, i : i + h, :, :] * wts[:, i][:, None, None, None]
-    return out
+    orig_dtype = img.dtype
+    # (B,H,W,C) -> (1,H,W,C*B): batch folded into channels; per-channel
+    # kernels replicate each sample's taps across its C channels.
+    lhs = jnp.moveaxis(img.astype(jnp.float32), 0, -1).reshape(1, h, w, c * b)
+    # (k, B) -> (k, C, B) -> (k, C*B)
+    taps = jnp.broadcast_to(wts.T[:, None, :], (k, c, b)).reshape(k, c * b)
+
+    dn = jax.lax.conv_dimension_numbers(
+        lhs.shape, (1, k, 1, c * b), ("NHWC", "HWIO", "NHWC")
+    )
+    lhs = jnp.pad(lhs, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+    lhs = jax.lax.conv_general_dilated(
+        lhs, taps.reshape(1, k, 1, c * b), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c * b,
+    )
+    lhs = jnp.pad(lhs, ((0, 0), (r, r), (0, 0), (0, 0)), mode="reflect")
+    lhs = jax.lax.conv_general_dilated(
+        lhs, taps.reshape(k, 1, 1, c * b), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c * b,
+    )
+    out = jnp.moveaxis(lhs.reshape(h, w, c, b), -1, 0)
+    return out.astype(orig_dtype)
 
 
 def blur_kernel_size(crop_size: int) -> int:
