@@ -47,6 +47,21 @@ class SegDataset:
     def get(self, index: int) -> Sample:
         raise NotImplementedError
 
+    def get_into(
+        self, index: int, img_canvas: np.ndarray, lab_canvas: np.ndarray
+    ) -> Tuple[int, int]:
+        """Decode sample ``index`` directly into pre-allocated canvas slots
+        ((Hc,Wc,3) uint8 / (Hc,Wc) int32 pre-filled with ignore).  Default
+        goes through ``get``; real datasets override with the native
+        zero-copy decode path (data.native_io) when the C++ library is
+        built."""
+        s = self.get(index)
+        hc, wc = img_canvas.shape[:2]
+        h, w = min(s.size[0], hc), min(s.size[1], wc)
+        img_canvas[:h, :w] = s.image[:h, :w]
+        lab_canvas[:h, :w] = s.label[:h, :w]
+        return h, w
+
 
 def split_fraction(split: str) -> float:
     return {"1_16": 1 / 16, "1_8": 1 / 8, "1_4": 1 / 4, "full": 1.0}[split]
@@ -183,6 +198,25 @@ class VOCDataset(SegDataset):
             label = np.full((h, w), 255, dtype=np.int32)
         return Sample(img, label, (h, w), sid)
 
+    def get_into(self, index, img_canvas, lab_canvas):
+        from semi_supervised_semantic_segmentation_tpu.data import native_io
+
+        if not native_io.available():
+            return super().get_into(index, img_canvas, lab_canvas)
+        sid = self.ids[index]
+        h, w = native_io.decode_image_into(
+            os.path.join(self.root, "JPEGImages", sid + ".jpg"), img_canvas
+        )
+        if self.labeled:
+            for lab_dir in ("SegmentationClassAug", "SegmentationClass"):
+                p = os.path.join(self.root, lab_dir, sid + ".png")
+                if os.path.exists(p):
+                    native_io.decode_label_into(p, lab_canvas)
+                    break
+            else:
+                raise FileNotFoundError(f"no label for {sid}")
+        return h, w
+
 
 # Cityscapes 33-id -> 19 trainId mapping (for gtFine_labelIds fallback).
 _CITYSCAPES_ID_TO_TRAIN = np.full(256, 255, dtype=np.int32)
@@ -236,6 +270,32 @@ class CityscapesDataset(SegDataset):
         else:
             label = np.full((h, w), 255, dtype=np.int32)
         return Sample(img, label, (h, w), sid)
+
+    def get_into(self, index, img_canvas, lab_canvas):
+        from semi_supervised_semantic_segmentation_tpu.data import native_io
+
+        if not native_io.available():
+            return super().get_into(index, img_canvas, lab_canvas)
+        sid = self.ids[index]
+        h, w = native_io.decode_image_into(
+            os.path.join(
+                self.root, "leftImg8bit", self.image_set, sid + "_leftImg8bit.png"
+            ),
+            img_canvas,
+        )
+        if self.labeled:
+            gt_dir = os.path.join(self.root, "gtFine", self.image_set)
+            p_train = os.path.join(gt_dir, sid + "_gtFine_labelTrainIds.png")
+            if os.path.exists(p_train):
+                native_io.decode_label_into(p_train, lab_canvas)
+            else:
+                native_io.decode_label_into(
+                    os.path.join(gt_dir, sid + "_gtFine_labelIds.png"), lab_canvas
+                )
+                lab_canvas[:h, :w] = _CITYSCAPES_ID_TO_TRAIN[
+                    np.clip(lab_canvas[:h, :w], 0, 255)
+                ]
+        return h, w
 
 
 # ---------------------------------------------------------------------------

@@ -37,11 +37,7 @@ def _assemble(dataset: SegDataset, indices, canvas_hw: Tuple[int, int], pool) ->
         if index < 0:  # blank pad slot (eval): all-ignore labels, zero image
             sizes[slot] = (1, 1)
             return
-        s = dataset.get(int(index))
-        h, w = s.size
-        h, w = min(h, hc), min(w, wc)
-        images[slot, :h, :w] = s.image[:h, :w]
-        labels[slot, :h, :w] = s.label[:h, :w]
+        h, w = dataset.get_into(int(index), images[slot], labels[slot])
         sizes[slot] = (h, w)
 
     list(pool.map(fill, enumerate(indices)))
