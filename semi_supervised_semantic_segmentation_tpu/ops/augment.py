@@ -312,6 +312,71 @@ def scale_crop_flip_single(
     return out, lab.astype(jnp.int32)
 
 
+def _hat_weights(src: jnp.ndarray, limit: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(crop, size) bilinear hat-weight matrix for traced source coords.
+
+    Equivalent to the clamped two-tap gather (``_src_taps``) but expressed
+    densely so resampling becomes a matmul on the MXU — TPU gathers along
+    the lane dimension are slow, batched matmuls are not.  Columns beyond
+    the true content (>= limit) get zero weight automatically because src is
+    clamped to limit-1 and the hat has unit support."""
+    src = jnp.clip(src, 0.0, limit - 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (src.shape[0], size), 1)
+    return jnp.clip(1.0 - jnp.abs(src[:, None] - idx), 0.0, 1.0)
+
+
+def scale_crop_flip_single_matmul(
+    img_u8: jnp.ndarray,
+    label: jnp.ndarray,
+    size_hw: jnp.ndarray,
+    s: jnp.ndarray,
+    oy: jnp.ndarray,
+    ox: jnp.ndarray,
+    flip: jnp.ndarray,
+    *,
+    crop_size: int,
+    fill_rgb: Tuple[float, float, float],
+    ignore_index: int,
+):
+    """MXU formulation of ``scale_crop_flip_single`` (bit-compatible up to
+    fp accumulation): out = W_y @ img @ W_x^T with per-sample traced hat
+    weights; the flip folds into the coordinate vectors."""
+    hc, wc = img_u8.shape[0], img_u8.shape[1]
+    h = size_hw[0].astype(jnp.float32)
+    w = size_hw[1].astype(jnp.float32)
+    sh = jnp.maximum(jnp.round(h * s), 1.0)
+    sw = jnp.maximum(jnp.round(w * s), 1.0)
+
+    grid = jnp.arange(crop_size, dtype=jnp.float32)
+    ys = (grid + oy + 0.5) * (h / sh) - 0.5
+    xs = (grid + ox + 0.5) * (w / sw) - 0.5
+    yvalid = (grid + oy) < sh
+    xvalid = (grid + ox) < sw
+    # Fold the horizontal flip into the output coordinate order.
+    xs = jnp.where(flip, xs[::-1], xs)
+    xvalid = jnp.where(flip, xvalid[::-1], xvalid)
+    valid = yvalid[:, None] & xvalid[None, :]
+
+    wy = _hat_weights(ys, h, hc)  # (crop, Hc)
+    wx = _hat_weights(xs, w, wc)  # (crop, Wc)
+    imgf = img_u8.astype(jnp.float32) * (1.0 / 255.0)
+    rows = jnp.einsum(
+        "oh,hwc->owc", wy, imgf, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "pw,owc->opc", wx, rows, precision=jax.lax.Precision.HIGHEST
+    )
+    fill = jnp.asarray(fill_rgb, dtype=jnp.float32)
+    out = jnp.where(valid[:, :, None], out, fill)
+
+    # Labels stay a two-tap nearest gather (int semantics, cheap).
+    ly = jnp.clip(jnp.floor(ys + 0.5), 0, h - 1).astype(jnp.int32)
+    lx = jnp.clip(jnp.floor(xs + 0.5), 0, w - 1).astype(jnp.int32)
+    lab = jnp.take(jnp.take(label, ly, axis=0), lx, axis=1)
+    lab = jnp.where(valid, lab, ignore_index)
+    return out, lab.astype(jnp.int32)
+
+
 def _weak_single(
     img_u8: jnp.ndarray,
     label: jnp.ndarray,
@@ -324,6 +389,7 @@ def _weak_single(
     hflip_prob: float,
     fill_rgb: Tuple[float, float, float],
     ignore_index: int,
+    impl: str = "matmul",
 ):
     """Sample (scale, crop offset, flip) and run the deterministic core."""
     h = size_hw[0].astype(jnp.float32)
@@ -338,7 +404,8 @@ def _weak_single(
     oy = jnp.floor(jax.random.uniform(koy, ()) * (jnp.maximum(sh - crop_size, 0.0) + 1.0))
     ox = jnp.floor(jax.random.uniform(kox, ()) * (jnp.maximum(sw - crop_size, 0.0) + 1.0))
     flip = jax.random.uniform(kf, ()) < hflip_prob
-    return scale_crop_flip_single(
+    core = scale_crop_flip_single_matmul if impl == "matmul" else scale_crop_flip_single
+    return core(
         img_u8,
         label,
         size_hw,
@@ -364,6 +431,7 @@ def weak_augment_batch(
     hflip_prob: float = 0.5,
     fill_rgb: Tuple[float, float, float] = (0.485, 0.456, 0.406),
     ignore_index: int = 255,
+    impl: str = "matmul",  # 'matmul' (MXU, default) | 'gather' (VPU)
 ):
     """Fused random scale-crop-flip for a batch -> ((B,c,c,3) [0,1] float32,
     (B,c,c) int32 labels).  One XLA program, static shapes, no host work."""
@@ -377,6 +445,7 @@ def weak_augment_batch(
         hflip_prob=hflip_prob,
         fill_rgb=fill_rgb,
         ignore_index=ignore_index,
+        impl=impl,
     )
     return jax.vmap(fn)(images_u8, labels, sizes, keys)
 

@@ -73,6 +73,32 @@ def test_scale_crop_flip_matches_torch(h, w, s, oy, ox, flip, crop):
     np.testing.assert_array_equal(np.asarray(ours_lab), ref_lab)
 
 
+@pytest.mark.parametrize(
+    "h,w,s,oy,ox,flip,crop",
+    [
+        (40, 56, 1.3, 5, 9, False, 32),
+        (40, 56, 0.5, 0, 0, True, 32),
+        (33, 47, 2.0, 20, 30, True, 32),
+        (32, 32, 1.0, 0, 0, False, 32),
+    ],
+)
+def test_matmul_core_matches_gather_core(h, w, s, oy, ox, flip, crop):
+    """The MXU (hat-weight matmul) formulation must agree with the two-tap
+    gather formulation everywhere, including flip and padding regions."""
+    rng = np.random.RandomState(7)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    lab = rng.randint(0, 5, (h, w)).astype(np.int32)
+    kw = dict(crop_size=crop, fill_rgb=(0.485, 0.456, 0.406), ignore_index=255)
+    args = (
+        jnp.asarray(img), jnp.asarray(lab), jnp.asarray([h, w], dtype=jnp.int32),
+        jnp.float32(s), jnp.float32(oy), jnp.float32(ox), jnp.asarray(flip),
+    )
+    gi, gl = augment.scale_crop_flip_single(*args, **kw)
+    mi, ml = augment.scale_crop_flip_single_matmul(*args, **kw)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(gi), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ml), np.asarray(gl))
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     # Sizes drawn from a small fixed set so the jitted gather only compiles
