@@ -95,7 +95,11 @@ def apply_eval(model, params, batch_stats, x):
 
 def init_model_variables(cfg: Config, model, rng: jax.Array):
     x = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), model.dtype)
-    variables = model.init({"params": rng}, x, train=False)
+    # jit the init: eager flax init dispatches each op separately (minutes on
+    # a remote-tunneled TPU); one compiled program takes seconds.
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(rng, x)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if cfg.model.pretrained:
