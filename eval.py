@@ -34,6 +34,10 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True, help="checkpoint dir (or dir:step)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
+    p.add_argument(
+        "--save_preds", default=None, metavar="DIR",
+        help="write palette PNG predictions for every val image",
+    )
     args = p.parse_args()
 
     overrides = {}
@@ -62,6 +66,18 @@ def main():
     )
     eval_step = jax.jit(make_eval_step(cfg, model))
     params, stats = inference_variables(state, method)
+    if args.save_preds:
+        from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+            make_predict_step,
+            save_predictions,
+        )
+
+        predict = jax.jit(make_predict_step(cfg, model))
+        ds = val.dataset
+        for batch in val.epoch(0):
+            preds = predict(params, stats, mesh_lib.shard_batch(batch, mesh))
+            save_predictions(preds, batch, ds, args.save_preds)
+        print(f"predictions written to {args.save_preds}")
     iou, miou, acc = run_eval(
         lambda p_, s_, b: eval_step(p_, s_, mesh_lib.shard_batch(b, mesh)),
         params, stats, val,

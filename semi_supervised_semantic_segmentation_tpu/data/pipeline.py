@@ -41,7 +41,12 @@ def _assemble(dataset: SegDataset, indices, canvas_hw: Tuple[int, int], pool) ->
         sizes[slot] = (h, w)
 
     list(pool.map(fill, enumerate(indices)))
-    return {"image": images, "label": labels, "size": sizes}
+    return {
+        "image": images,
+        "label": labels,
+        "size": sizes,
+        "index": np.asarray(indices, dtype=np.int32),
+    }
 
 
 class Loader:

@@ -94,6 +94,54 @@ def inference_variables(state, method_module):
     return params, stats
 
 
+def voc_palette() -> np.ndarray:
+    """The standard VOC color map (bit-interleave generator), (256, 3) u8."""
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    for i in range(256):
+        lab, shift = i, 7
+        r = g = b = 0
+        while lab:
+            r |= ((lab >> 0) & 1) << shift
+            g |= ((lab >> 1) & 1) << shift
+            b |= ((lab >> 2) & 1) << shift
+            lab >>= 3
+            shift -= 1
+        palette[i] = (r, g, b)
+    return palette
+
+
+def make_predict_step(cfg: Config, model):
+    """Jitted argmax prediction on the eval canvas (for --save_preds)."""
+    mean, std = tuple(cfg.data.mean), tuple(cfg.data.std)
+
+    def predict(params, batch_stats, batch):
+        x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
+        logits = common.apply_eval(model, params, batch_stats, x)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def save_predictions(preds, batch, dataset, out_dir: str):
+    """Write per-image palette PNGs (cropped to true size) named by id."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    pal = voc_palette().reshape(-1).tolist()
+    preds = np.asarray(preds)
+    for i in range(preds.shape[0]):
+        idx = int(batch["index"][i])
+        if idx < 0:
+            continue  # blank eval pad slot
+        h, w = (int(v) for v in batch["size"][i])
+        im = Image.fromarray(preds[i, :h, :w].astype(np.uint8), mode="P")
+        im.putpalette(pal)
+        sid = dataset.ids[idx].replace("/", "_")
+        im.save(os.path.join(out_dir, f"{sid}.png"))
+
+
 def run_eval(eval_step_jit, params, batch_stats, loader, epoch: int = 0):
     """Iterate the val loader, accumulate the confusion matrix, return
     (per-class IoU, mIoU, pixel accuracy)."""
