@@ -42,6 +42,8 @@ class DataConfig:
     jitter_prob: float = 0.8
     grayscale_prob: float = 0.2
     blur_prob: float = 0.5
+    # On-device aug implementation: 'matmul' (MXU hat-weights) | 'gather'.
+    aug_impl: str = "matmul"
     # Host pipeline.
     num_workers: int = 4
     # Synthetic dataset controls (tests / CPU-runnable config 1).

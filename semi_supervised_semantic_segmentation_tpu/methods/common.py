@@ -47,6 +47,7 @@ def weak_view(cfg: Config, batch: Batch, key: jax.Array):
         hflip_prob=d.hflip_prob,
         fill_rgb=tuple(d.mean),
         ignore_index=d.ignore_index,
+        impl=d.aug_impl,
     )
 
 

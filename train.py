@@ -50,6 +50,9 @@ def main():
     if args.work_dir is not None:
         overrides["train.work_dir"] = args.work_dir
     cfg = load_config(args.config, overrides)
+    from semi_supervised_semantic_segmentation_tpu.parallel import distributed
+
+    distributed.maybe_initialize()
     best = Trainer(cfg).fit()
     print(f"best mIoU: {best:.4f}")
 
