@@ -205,7 +205,15 @@ def _build_section(cls: type, d: Dict[str, Any], path: str):
 def config_from_dict(raw: Dict[str, Any]) -> Config:
     raw = dict(raw or {})
     name = raw.pop("name", "experiment")
-    sections: Dict[str, Dict[str, Any]] = {k: dict(raw.pop(k, {}) or {}) for k in _SECTIONS}
+    sections: Dict[str, Dict[str, Any]] = {}
+    for k in _SECTIONS:
+        v = raw.pop(k, {}) or {}
+        if not isinstance(v, dict):
+            # Scalar under a section name is the reference's flat spelling
+            # (e.g. ``method: fixmatch_cutmix``) — route through the aliases.
+            raw[k] = v
+            v = {}
+        sections[k] = dict(v)
     # Remaining top-level keys must be flat aliases.
     for key, value in raw.items():
         if key not in _FLAT_ALIASES:

