@@ -8,6 +8,7 @@ and merges across the data mesh with a psum — the host only ever sees one
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,15 +18,34 @@ def confusion_matrix(
     label: jnp.ndarray,
     num_classes: int,
     ignore_index: int = 255,
+    impl: str = "matmul",
 ) -> jnp.ndarray:
-    """Per-batch (C, C) confusion matrix; rows = ground truth, cols = pred."""
+    """Per-batch (C, C) confusion matrix; rows = ground truth, cols = pred.
+
+    ``matmul`` (default): cm = onehot(label)^T @ onehot(pred) — an MXU
+    contraction with f32 accumulation (exact for counts < 2^24; a full
+    1024x2048 batch of 8 is 16.7M pixels, still within one f32 ulp-free
+    range per cell and far below it in practice).  TPU scatters (the
+    bincount path) serialize; the matmul form doesn't.
+    ``bincount``: the classic flattened-bincount scatter (exact for any
+    count; used as the CPU oracle in tests).
+    """
     pred = pred.reshape(-1).astype(jnp.int32)
     label = label.reshape(-1).astype(jnp.int32)
     valid = label != ignore_index
-    # Invalid pixels are routed to an overflow bin that is sliced away.
-    idx = jnp.where(valid, label * num_classes + pred, num_classes * num_classes)
-    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
-    return counts[:-1].reshape(num_classes, num_classes)
+    if impl == "bincount":
+        # Invalid pixels are routed to an overflow bin that is sliced away.
+        idx = jnp.where(valid, label * num_classes + pred, num_classes * num_classes)
+        counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+        return counts[:-1].reshape(num_classes, num_classes)
+    t1h = jax.nn.one_hot(
+        jnp.where(valid, label, 0), num_classes, dtype=jnp.bfloat16
+    ) * valid[:, None].astype(jnp.bfloat16)
+    p1h = jax.nn.one_hot(pred, num_classes, dtype=jnp.bfloat16)
+    cm = jnp.einsum(
+        "nt,np->tp", t1h, p1h, preferred_element_type=jnp.float32
+    )
+    return cm.astype(jnp.int32)
 
 
 def iou_from_confusion(cm) -> tuple[np.ndarray, float]:

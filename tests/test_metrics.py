@@ -19,8 +19,22 @@ def test_confusion_matrix_matches_oracle():
     pred = rng.randint(0, 5, (2, 16, 16))
     label = rng.randint(0, 5, (2, 16, 16))
     label[0, :4] = 255
-    ours = np.asarray(metrics.confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 5))
-    np.testing.assert_array_equal(ours, _np_confusion(pred, label, 5))
+    expected = _np_confusion(pred, label, 5)
+    for impl in ("matmul", "bincount"):
+        ours = np.asarray(
+            metrics.confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 5, impl=impl)
+        )
+        np.testing.assert_array_equal(ours, expected)
+
+
+def test_confusion_matrix_impls_agree_large():
+    rng = np.random.RandomState(9)
+    pred = rng.randint(0, 21, (4, 128, 128))
+    label = rng.randint(0, 21, (4, 128, 128))
+    label[pred == 3] = 255  # irregular ignore pattern
+    a = np.asarray(metrics.confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 21, impl="matmul"))
+    b = np.asarray(metrics.confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 21, impl="bincount"))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_iou_perfect_prediction():
