@@ -25,6 +25,18 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return total / jnp.maximum(count, 1.0)
 
 
+def _pick_label_logp(logp: jnp.ndarray, labels_safe: jnp.ndarray) -> jnp.ndarray:
+    """log p[label] per pixel WITHOUT a gather.
+
+    ``take_along_axis`` lowers to a per-pixel gather that serializes on TPU
+    (profiled at ~45% of a 512² train step); the one-hot select fuses into
+    an elementwise mask + small-axis reduction on the VPU instead.
+    """
+    classes = jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    sel = jnp.where(classes == labels_safe[..., None], logp, 0.0)
+    return jnp.sum(sel, axis=-1)
+
+
 def cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -50,7 +62,7 @@ def cross_entropy(
         valid = jnp.logical_and(valid, extra_mask.astype(bool))
     labels_safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    ll = _pick_label_logp(logp, labels_safe)
     return _masked_mean(-ll, valid)
 
 
@@ -78,7 +90,7 @@ def confidence_masked_ce(
     keep = jnp.logical_and(valid, conf_mask.astype(bool))
     labels_safe = jnp.where(keep, pseudo_labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    ll = _pick_label_logp(logp, labels_safe)
     loss = -ll * keep.astype(jnp.float32)
     if normalize == "all":
         denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
