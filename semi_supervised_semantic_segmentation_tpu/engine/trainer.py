@@ -191,12 +191,21 @@ class Trainer:
             lambda p, s, b: self.eval_step(p, s, mesh_lib.shard_batch(b, self.mesh)),
             params, stats, self.val_loader, epoch=0,
         )
-        self.log.info(
-            "eval epoch %d: mIoU=%.4f acc=%.4f (%.1fs) per-class IoU=%s",
-            epoch, miou, acc, time.time() - t0,
-            np.array2string(np.asarray(iou), precision=3),
+        from semi_supervised_semantic_segmentation_tpu.ops.metrics import (
+            class_names,
+            format_iou_table,
         )
-        self.metrics.log_scalars(epoch, {"miou": miou, "acc": acc}, "val")
+
+        names = class_names(self.cfg.data.dataset, self.cfg.data.num_classes)
+        self.log.info(
+            "eval epoch %d: mIoU=%.4f acc=%.4f (%.1fs)\n%s",
+            epoch, miou, acc, time.time() - t0, format_iou_table(iou, names),
+        )
+        scalars = {"miou": miou, "acc": acc}
+        scalars.update(
+            {f"iou/{n}": float(v) for n, v in zip(names, iou) if np.isfinite(v)}
+        )
+        self.metrics.log_scalars(epoch, scalars, "val")
         return miou
 
     def fit(self) -> float:

@@ -63,6 +63,35 @@ def iou_from_confusion(cm) -> tuple[np.ndarray, float]:
     return iou, miou
 
 
+VOC_CLASSES = (
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+CITYSCAPES_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
+    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle",
+)
+
+
+def class_names(dataset: str, num_classes: int):
+    if dataset == "voc" and num_classes == len(VOC_CLASSES):
+        return VOC_CLASSES
+    if dataset == "cityscapes" and num_classes == len(CITYSCAPES_CLASSES):
+        return CITYSCAPES_CLASSES
+    return tuple(f"class_{i}" for i in range(num_classes))
+
+
+def format_iou_table(iou, names) -> str:
+    rows = [
+        f"  {n:<14s} {100 * v:6.2f}" if np.isfinite(v) else f"  {n:<14s}    n/a"
+        for n, v in zip(names, iou)
+    ]
+    return "\n".join(rows)
+
+
 def pixel_accuracy(cm) -> float:
     cm = np.asarray(cm, dtype=np.float64)
     total = cm.sum()
