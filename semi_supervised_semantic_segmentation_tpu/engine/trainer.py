@@ -135,16 +135,28 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def _stream(self, start_epoch: int):
+        """Endless sharded batch stream (data epochs advance internally, so
+        ``train.iters_per_epoch`` can exceed or truncate the natural epoch)."""
+        data_epoch = start_epoch
+        while True:
+            if self.dual is not None:
+                for lab, unlab in self.dual.epoch(data_epoch):
+                    yield (
+                        mesh_lib.shard_batch(lab, self.mesh),
+                        mesh_lib.shard_batch(unlab, self.mesh),
+                    )
+            else:
+                for lab in self.labeled_loader.epoch(data_epoch):
+                    yield (mesh_lib.shard_batch(lab, self.mesh), None)
+            data_epoch += 1
+
     def _batches(self, epoch: int):
-        if self.dual is not None:
-            for lab, unlab in self.dual.epoch(epoch):
-                yield (
-                    mesh_lib.shard_batch(lab, self.mesh),
-                    mesh_lib.shard_batch(unlab, self.mesh),
-                )
-        else:
-            for lab in self.labeled_loader.epoch(epoch):
-                yield (mesh_lib.shard_batch(lab, self.mesh), None)
+        """iters_per_epoch batches from the persistent stream."""
+        if not hasattr(self, "_batch_stream") or self._batch_stream is None:
+            self._batch_stream = self._stream(epoch)
+        for _ in range(self.iters_per_epoch):
+            yield next(self._batch_stream)
 
     def train_epoch(self, epoch: int):
         cfg = self.cfg
@@ -174,7 +186,11 @@ class Trainer:
             step = i + epoch * self.iters_per_epoch
             if (i + 1) % cfg.train.log_interval == 0 or i + 1 == self.iters_per_epoch:
                 host = {k: float(v) for k, v in jax.device_get(last).items()}
+                # Interval rate (fetching metrics just synced the device),
+                # so compile time only pollutes the first interval.
                 ips = n_img / (time.time() - t0)
+                t0 = time.time()
+                n_img = 0
                 host["images_per_sec"] = ips
                 self.metrics.log_scalars(step, host, "train")
                 self.log.info(
