@@ -116,6 +116,7 @@ class SyntheticDataset(SegDataset):
         image_hw: Tuple[int, int] = (96, 96),
         seed: int = 0,
         labeled: bool = True,
+        cache: bool = True,
     ):
         self.num_classes = num_classes
         self.size = size
@@ -123,8 +124,22 @@ class SyntheticDataset(SegDataset):
         self.seed = seed
         self.labeled = labeled
         self.ids = [f"syn_{seed}_{i:05d}" for i in range(size)]
+        # Samples are deterministic in (seed, index): cache them so repeated
+        # epochs don't re-run the procedural generator (it otherwise
+        # dominates the host pipeline at 512x512 canvases).
+        self._cache: dict = {} if cache else None
 
     def get(self, index: int) -> Sample:
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                return hit
+        s = self._generate(index)
+        if self._cache is not None and len(self._cache) < 4096:
+            self._cache[index] = s
+        return s
+
+    def _generate(self, index: int) -> Sample:
         h, w = self.canvas_hw
         rng = np.random.RandomState(self.seed * 100003 + index)
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)

@@ -60,7 +60,7 @@ class Loader:
         shuffle: bool = True,
         drop_last: bool = True,
         num_workers: int = 4,
-        prefetch: int = 2,
+        prefetch: int = 4,
         canvas_hw: Optional[Tuple[int, int]] = None,
         pad_mode: str = "wrap",  # 'wrap' (train) | 'blank' (eval: exact count)
     ):
