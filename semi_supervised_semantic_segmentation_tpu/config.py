@@ -62,6 +62,10 @@ class ModelConfig:
     pretrained: str = ""  # path to a torch state-dict (.pt/.pth/.safetensors)
     norm: str = "batchnorm"  # batchnorm | groupnorm
     bn_momentum: float = 0.9  # flax momentum convention: ra = m*ra + (1-m)*x
+    # Rematerialization: 'none' | 'blocks' (checkpoint every residual block /
+    # HR module — trades ~1/3 more FLOPs for O(depth) less activation HBM;
+    # required for HRNet-W48 @ 1024^2).
+    remat: str = "none"
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256

@@ -51,17 +51,6 @@ def flatten_params_to_torch_layout(
     weight/bias/running_mean/running_var; Dense as weight (out,in)/bias."""
     out: Dict[str, np.ndarray] = {}
 
-    def walk(prefix, node, stats_node):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(
-                    prefix + [k],
-                    v,
-                    stats_node.get(k, {}) if isinstance(stats_node, dict) else {},
-                )
-            return
-        raise TypeError(f"unexpected leaf container at {prefix}")
-
     def emit(path, leaf_name, arr):
         out[".".join(path + [leaf_name])] = np.asarray(arr)
 

@@ -95,12 +95,15 @@ class HRNet(nn.Module):
     dtype: Any = jnp.bfloat16
     # (num_modules, num_branches) per stage 2..4; 4 blocks per branch.
     stage_modules: Tuple[int, int, int] = (1, 4, 3)
+    remat: bool = False  # checkpoint each HRModule (memory vs FLOPs)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         w = self.width
         widths = (w, 2 * w, 4 * w, 8 * w)
         kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
+        # nn.remat over list-of-arrays args: train (argnum 2) stays static.
+        module_cls = nn.remat(HRModule, static_argnums=(2,)) if self.remat else HRModule
 
         x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
         c1 = x  # stride 2
@@ -119,7 +122,7 @@ class HRNet(nn.Module):
         xs = [b0, b1]
 
         for m in range(self.stage_modules[0]):
-            xs = HRModule(widths[:2], name=f"stage2_m{m}", **kw)(xs, train)
+            xs = module_cls(widths[:2], name=f"stage2_m{m}", **kw)(xs, train)
 
         xs.append(
             ConvNormAct(
@@ -127,7 +130,7 @@ class HRNet(nn.Module):
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[1]):
-            xs = HRModule(widths[:3], name=f"stage3_m{m}", **kw)(xs, train)
+            xs = module_cls(widths[:3], name=f"stage3_m{m}", **kw)(xs, train)
 
         xs.append(
             ConvNormAct(
@@ -135,6 +138,6 @@ class HRNet(nn.Module):
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[2]):
-            xs = HRModule(widths[:4], name=f"stage4_m{m}", **kw)(xs, train)
+            xs = module_cls(widths[:4], name=f"stage4_m{m}", **kw)(xs, train)
 
         return {"c1": c1, "c2": xs[0], "c3": xs[1], "c4": xs[2], "c5": xs[3]}

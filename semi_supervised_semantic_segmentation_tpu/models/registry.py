@@ -33,6 +33,7 @@ class SegModel(nn.Module):
     dtype: Any = jnp.bfloat16
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,6 +45,7 @@ class SegModel(nn.Module):
                 norm=self.norm,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                remat=self.remat,
                 name="encoder",
             )(x, train)
         elif self.backbone == "hrnet_w48":
@@ -54,6 +56,7 @@ class SegModel(nn.Module):
                 norm=self.norm,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                remat=self.remat,
                 name="encoder",
             )(x, train)
         else:
@@ -98,4 +101,5 @@ def build_model(cfg: Config) -> SegModel:
         dtype=_DTYPES[cfg.model.compute_dtype],
         aspp_dilations=cfg.model.aspp_dilations,
         decoder_channels=cfg.model.decoder_channels,
+        remat=(cfg.model.remat == "blocks"),
     )

@@ -143,6 +143,7 @@ class ResNet(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # checkpoint each residual block (memory vs FLOPs)
 
     @property
     def feature_channels(self) -> Tuple[int, int, int, int, int]:
@@ -152,6 +153,9 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         block_cls, layers, _ = _SPECS[self.arch]
+        if self.remat:
+            # static_argnums: (self, x, train) -> train must stay static.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         # Stride/dilation plan per stage (torchvision
         # replace_stride_with_dilation): when a stage is dilated, its stride
         # moves into the dilation, block 0 keeps the *previous* dilation.
