@@ -63,8 +63,18 @@ class Loader:
         prefetch: int = 4,
         canvas_hw: Optional[Tuple[int, int]] = None,
         pad_mode: str = "wrap",  # 'wrap' (train) | 'blank' (eval: exact count)
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.pad_mode = pad_mode
+        # Multi-host: every process computes the SAME deterministic global
+        # order (seeded shuffle) and assembles only its contiguous row-block
+        # of each global batch; mesh_lib.shard_batch stitches the blocks into
+        # one global jax.Array (device order follows process order).
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = batch_size // process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -100,6 +110,9 @@ class Loader:
         """Iterate one epoch with background prefetch."""
         order = self._epoch_indices(epoch)
         batches = order.reshape(-1, self.batch_size)
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch_size
+            batches = batches[:, lo : lo + self.local_batch_size]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 

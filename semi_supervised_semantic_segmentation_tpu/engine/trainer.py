@@ -56,16 +56,21 @@ class Trainer:
         self.method = get_method(cfg.method.name)
 
         # Data: labeled loader always; unlabeled only for SSL methods.
+        # Batch sizes are GLOBAL; in multi-host runs each process assembles
+        # its contiguous shard (the TPU-native DistributedSampler).
+        proc = dict(
+            process_index=jax.process_index(), process_count=jax.process_count()
+        )
         self.labeled_ds = build_dataset(cfg, "labeled")
         self.labeled_loader = Loader(
             self.labeled_ds, cfg.train.labeled_batch_size,
-            seed=cfg.train.seed, num_workers=cfg.data.num_workers,
+            seed=cfg.train.seed, num_workers=cfg.data.num_workers, **proc,
         )
         if self.method.uses_unlabeled:
             self.unlabeled_ds = build_dataset(cfg, "unlabeled")
             self.unlabeled_loader = Loader(
                 self.unlabeled_ds, cfg.train.unlabeled_batch_size,
-                seed=cfg.train.seed + 17, num_workers=cfg.data.num_workers,
+                seed=cfg.train.seed + 17, num_workers=cfg.data.num_workers, **proc,
             )
             self.dual = DualLoader(self.labeled_loader, self.unlabeled_loader)
             self.iters_per_epoch = cfg.train.iters_per_epoch or len(self.dual)
@@ -78,6 +83,7 @@ class Trainer:
         self.val_loader = Loader(
             self.val_ds, cfg.train.eval_batch_size, shuffle=False,
             drop_last=False, pad_mode="blank", num_workers=cfg.data.num_workers,
+            **proc,
         )
 
         self.total_steps = self.iters_per_epoch * cfg.train.epochs

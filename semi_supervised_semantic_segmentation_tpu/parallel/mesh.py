@@ -47,10 +47,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a host batch pytree with the batch axis on 'data'."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
-    )
+    """Place a host batch pytree with the batch axis sharded on 'data'.
+
+    Single process: a plain sharded device_put.  Multi-host: each process
+    holds its contiguous row-block of the global batch (see
+    data.pipeline.Loader process slicing) and the blocks assemble into one
+    global jax.Array — the TPU-native DistributedSampler."""
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+        )
+    nproc = jax.process_count()
+
+    def put(x):
+        global_shape = (x.shape[0] * nproc,) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, x.ndim), x, global_shape
+        )
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
