@@ -1,0 +1,58 @@
+"""Evaluator semantics: sliding-window tiling == whole-image on sizes where
+both apply; window starts cover the canvas; blank-pad slots contribute
+nothing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+    _window_starts,
+    make_eval_step,
+)
+from semi_supervised_semantic_segmentation_tpu.methods import get_method
+from semi_supervised_semantic_segmentation_tpu.models import build_model
+
+from .helpers import synthetic_batch, tiny_cfg
+
+
+def test_window_starts_cover_and_flush():
+    assert _window_starts(64, 64, 43) == [0]
+    assert _window_starts(100, 64, 43) == [0, 36]  # final window flushes to edge
+    starts = _window_starts(257, 64, 43)
+    assert starts[0] == 0 and starts[-1] == 257 - 64
+    assert all(b - a <= 43 for a, b in zip(starts, starts[1:]))
+
+
+def test_sliding_equals_whole_when_one_window():
+    """Canvas == crop: sliding has exactly one window -> identical confmat."""
+    cfg_w = tiny_cfg("supervised", crop=32)
+    cfg_s = tiny_cfg("supervised", crop=32, **{"data.eval_mode": "sliding"})
+    model = build_model(cfg_w)
+    method = get_method("supervised")
+    state = method.init_state(cfg_w, model, jax.random.key(0), 10)
+    batch = synthetic_batch(2, 32, seed=0)
+    cm_w = np.asarray(jax.jit(make_eval_step(cfg_w, model))(state.params, state.batch_stats, batch))
+    cm_s = np.asarray(jax.jit(make_eval_step(cfg_s, model))(state.params, state.batch_stats, batch))
+    np.testing.assert_array_equal(cm_w, cm_s)
+
+
+def test_sliding_counts_all_pixels_on_larger_canvas():
+    cfg = tiny_cfg("supervised", crop=32, **{"data.eval_mode": "sliding"})
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(0), 10)
+    batch = synthetic_batch(2, 48, seed=1)
+    cm = np.asarray(jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch))
+    assert cm.sum() == 2 * 48 * 48
+
+
+def test_blank_pad_rows_are_ignored():
+    cfg = tiny_cfg("supervised", crop=32)
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(0), 10)
+    batch = synthetic_batch(2, 32, seed=2)
+    batch["label"][1] = 255  # a blank eval pad slot
+    cm = np.asarray(jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch))
+    assert cm.sum() == 32 * 32  # only sample 0 counted
