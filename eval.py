@@ -43,7 +43,10 @@ def main():
     overrides = {}
     for pair in args.set:
         k, v = pair.split("=", 1)
-        overrides[k] = yaml.safe_load(v)
+        parsed = yaml.safe_load(v)
+        if isinstance(parsed, int) and "_" in v:  # '1_16' != 116 (YAML 1.1)
+            parsed = v
+        overrides[k] = parsed
     cfg = load_config(args.config, overrides)
 
     mesh = mesh_lib.make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)

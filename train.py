@@ -29,7 +29,12 @@ def parse_overrides(pairs):
         if "=" not in pair:
             raise SystemExit(f"override must be key=value, got: {pair}")
         k, v = pair.split("=", 1)
-        out[k] = yaml.safe_load(v)
+        parsed = yaml.safe_load(v)
+        # YAML 1.1 reads '1_16' as 116 (underscore thousands separator);
+        # keep such values as the literal string (split names etc.).
+        if isinstance(parsed, int) and "_" in v:
+            parsed = v
+        out[k] = parsed
     return out
 
 
