@@ -106,6 +106,13 @@ class Trainer:
             max_to_keep=cfg.train.keep_checkpoints,
             async_save=cfg.train.async_checkpoint,
         )
+        # Best-mIoU snapshot (C19): a separate single-slot store updated only
+        # on improvement, so the best model survives the rolling window.
+        self.ckpt_best = CheckpointManager(
+            os.path.join(cfg.train.work_dir, "checkpoints_best"),
+            max_to_keep=1,
+            async_save=cfg.train.async_checkpoint,
+        )
         self.start_epoch = 0
         self.best_miou = 0.0
         if cfg.train.resume:
@@ -239,6 +246,13 @@ class Trainer:
                 miou = self.evaluate(epoch)
                 if miou > self.best_miou:
                     self.best_miou = miou
+                    self.ckpt_best.save(
+                        int(jax.device_get(self.state.step)),
+                        jax.device_get(self.state),
+                        {"epoch": epoch, "best_miou": self.best_miou,
+                         "miou": miou, "config": cfg.to_dict()},
+                        force=True,
+                    )
             if (epoch + 1) % cfg.train.checkpoint_interval == 0 or epoch + 1 == cfg.train.epochs:
                 self.ckpt.save(
                     int(jax.device_get(self.state.step)),
@@ -247,5 +261,6 @@ class Trainer:
                      "miou": miou, "config": cfg.to_dict()},
                 )
         self.ckpt.wait()
+        self.ckpt_best.wait()
         self.metrics.close()
         return self.best_miou
