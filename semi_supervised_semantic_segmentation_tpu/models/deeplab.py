@@ -98,7 +98,8 @@ class DeepLabV3Plus(nn.Module):
             self.num_classes, (1, 1), dtype=self.dtype,
             param_dtype=jnp.float32, name="head",
         )(x)
-        # Upsample in the compute dtype (single MXU pass), then f32 for the
-        # loss/argmax consumers.
-        logits = resize_bilinear(logits, out_hw, align_corners=False)
-        return logits.astype(jnp.float32)
+        # Upsample in the compute dtype (single MXU pass).  Logits stay in
+        # the compute dtype: materializing them f32 at full resolution costs
+        # ~90MB of HBM traffic per branch at 512^2x21; the losses upcast
+        # tile-wise inside their fusions instead.
+        return resize_bilinear(logits, out_hw, align_corners=False)

@@ -65,6 +65,6 @@ class UNetDecoder(nn.Module):
             param_dtype=jnp.float32, name="head",
         )(x)
         # Head runs at stride 2; final x2 bilinear in the compute dtype
-        # (single MXU pass), then f32 for loss/argmax consumers.
-        logits = resize_bilinear(logits, out_hw, align_corners=False)
-        return logits.astype(jnp.float32)
+        # (single MXU pass).  Logits stay in the compute dtype — losses and
+        # argmax consumers upcast tile-wise inside their fusions.
+        return resize_bilinear(logits, out_hw, align_corners=False)

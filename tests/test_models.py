@@ -31,6 +31,7 @@ def test_forward_shapes(backbone, decoder, os_):
     )(jax.random.key(0))
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 64, 64, 7)
+    # Logits come back in the compute dtype (f32 here); losses upcast.
     assert out.dtype == jnp.float32
 
 
