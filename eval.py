@@ -85,7 +85,12 @@ def main():
         lambda p_, s_, b: eval_step(p_, s_, mesh_lib.shard_batch(b, mesh)),
         params, stats, val,
     )
-    print("per-class IoU:", np.array2string(np.asarray(iou), precision=4))
+    from semi_supervised_semantic_segmentation_tpu.ops.metrics import (
+        class_names,
+        format_iou_table,
+    )
+
+    print(format_iou_table(iou, class_names(cfg.data.dataset, cfg.data.num_classes)))
     print(f"mIoU: {miou:.4f}  pixel-acc: {acc:.4f}")
 
 
