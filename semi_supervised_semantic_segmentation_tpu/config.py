@@ -44,10 +44,19 @@ class DataConfig:
     blur_prob: float = 0.5
     # On-device aug implementation: 'matmul' (MXU hat-weights) | 'gather'.
     aug_impl: str = "matmul"
+    # CutMix+normalize implementation in the fixmatch step: 'xla' (fused by
+    # the compiler) | 'pallas' (ops.pallas_aug single-pass kernel with
+    # on-chip PRNG; falls back to interpret mode off-TPU).
+    cutmix_impl: str = "xla"
     # Host pipeline.
     num_workers: int = 4
     # Synthetic dataset controls (tests / CPU-runnable config 1).
     synthetic_size: int = 64
+    # Gapped-blobs SSL fixture: labeled images draw blob appearance from a
+    # narrow range of the hue continuum while unlabeled/val span the full
+    # range — the distribution gap pseudo-labeling needs to show a gain
+    # over supervised-only without real data.
+    synthetic_gapped: bool = False
     # Eval: "whole" images resized to eval_size, or "sliding" window.
     eval_mode: str = "whole"
     eval_size: int = 0  # 0 = use native (padded) size
@@ -57,7 +66,7 @@ class DataConfig:
 @dataclass(frozen=True)
 class ModelConfig:
     backbone: str = "resnet50"  # resnet18 | resnet50 | resnet101 | hrnet_w48
-    decoder: str = "deeplabv3plus"  # unet | deeplabv3plus
+    decoder: str = "deeplabv3plus"  # unet | deeplabv3plus | hrnet_head
     output_stride: int = 16  # dilated backbone stride for deeplab (8|16|32)
     pretrained: str = ""  # path to a torch state-dict (.pt/.pth/.safetensors)
     norm: str = "batchnorm"  # batchnorm | groupnorm
@@ -110,6 +119,9 @@ class TrainConfig:
     log_interval: int = 50  # steps between scalar logs
     seed: int = 0
     resume: str = ""  # checkpoint dir/step to resume from
+    # Initialize params/EMA/net2 from a reference-layout torch checkpoint
+    # (the BASELINE.json:5 "same checkpoint format" contract; engine.compat).
+    init_from_torch: str = ""
     work_dir: str = "./runs/default"
     checkpoint_interval: int = 1  # epochs between checkpoint saves
     keep_checkpoints: int = 3
@@ -265,8 +277,11 @@ def update_config(cfg: Config, overrides: Dict[str, Any]) -> Config:
 _VALID = {
     "data.dataset": {"voc", "cityscapes", "synthetic"},
     "data.split": {"1_16", "1_8", "1_4", "full"},
+    "data.aug_impl": {"matmul", "gather"},
+    "data.cutmix_impl": {"xla", "pallas"},
+    "data.eval_mode": {"whole", "sliding"},
     "model.backbone": {"resnet18", "resnet50", "resnet101", "hrnet_w48"},
-    "model.decoder": {"unet", "deeplabv3plus"},
+    "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
 }
 

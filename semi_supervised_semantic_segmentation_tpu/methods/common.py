@@ -34,7 +34,14 @@ def step_key(state: TrainState) -> jax.Array:
 
 
 def weak_view(cfg: Config, batch: Batch, key: jax.Array):
-    """uint8 canvas batch -> ([0,1] f32 crop view, int32 labels)."""
+    """uint8 canvas batch -> ([0,1] f32 crop view, int32 labels, bool valid).
+
+    ``valid`` is the geometric content mask from the scale-crop: False where
+    the view is mean-fill padding.  Labeled views already carry this as
+    ``labels == ignore_index``; unlabeled views have no labels, so SSL
+    methods must use ``valid`` to keep padded pixels out of pseudo-label /
+    consistency losses (they are fake content the teacher would otherwise
+    supervise confidently)."""
     d = cfg.data
     return augment.weak_augment_batch(
         batch["image"],

@@ -48,8 +48,8 @@ def make_train_step(cfg: Config, model, total_steps: int):
     def train_step(state: TrainState, labeled, unlabeled):
         key = common.step_key(state)
         kl, ku, kd1, kd2 = jax.random.split(key, 4)
-        xl01, y = common.weak_view(cfg, labeled, kl)
-        xu01, _ = common.weak_view(cfg, unlabeled, ku)
+        xl01, y, lvalid = common.weak_view(cfg, labeled, kl)
+        xu01, _, uvalid = common.weak_view(cfg, unlabeled, ku)
         xl = common.normalize(cfg, xl01, model.dtype)
         xu = common.normalize(cfg, xu01, model.dtype)
         x = jnp.concatenate([xl, xu], axis=0)
@@ -65,9 +65,11 @@ def make_train_step(cfg: Config, model, total_steps: int):
             sup = losses.cross_entropy(logits1[:nl], y, ignore) + losses.cross_entropy(
                 logits2[:nl], y, ignore
             )
-            cps = losses.cps_loss(logits1[:nl], logits2[:nl], ignore) + losses.cps_loss(
-                logits1[nl:], logits2[nl:], ignore
-            )
+            # Geometric validity masks keep mean-fill padding (fake content
+            # outside the scaled image) out of the pseudo-supervision.
+            cps = losses.cps_loss(
+                logits1[:nl], logits2[:nl], ignore, valid_mask=lvalid
+            ) + losses.cps_loss(logits1[nl:], logits2[nl:], ignore, valid_mask=uvalid)
             loss = sup + m.cps_weight * cps
             return loss, ({"net1": bs1, "net2": bs2}, sup, cps)
 

@@ -45,8 +45,8 @@ def make_train_step(cfg: Config, model, total_steps: int):
     def train_step(state: TrainState, labeled, unlabeled):
         key = common.step_key(state)
         kl, ku, ks, kmix, kdrop = jax.random.split(key, 5)
-        xl01, y = common.weak_view(cfg, labeled, kl)
-        xu01, _ = common.weak_view(cfg, unlabeled, ku)
+        xl01, y, _ = common.weak_view(cfg, labeled, kl)
+        xu01, _, uvalid = common.weak_view(cfg, unlabeled, ku)
         xu_strong01 = common.strong_view(cfg, xu01, ks)
 
         # Teacher pseudo-labels on the weak view (argmax + confidence mask).
@@ -55,14 +55,41 @@ def make_train_step(cfg: Config, model, total_steps: int):
             common.apply_eval(model, state.ema_params, state.ema_batch_stats, xu_w)
         )
         pseudo, conf = losses.pseudo_labels_from_logits(teacher_logits, m.conf_thresh)
+        # Mean-fill padding outside the scaled content is fake imagery; the
+        # teacher would pseudo-label it confidently.  Mark it ignore BEFORE
+        # CutMix so mixed-in padding stays excluded (numerator and
+        # denominator) from the unsupervised loss.
+        pseudo = jnp.where(uvalid, pseudo, ignore)
 
         # CutMix: same box cuts image + pseudo-label + confidence mask.
-        xu_mix01, pseudo, conf = augment.cutmix_batch(
-            xu_strong01, pseudo, conf, kmix, prob=m.cutmix_prob
-        )
-
         xl = common.normalize(cfg, xl01, model.dtype)
-        xu_s = common.normalize(cfg, xu_mix01, model.dtype)
+        if cfg.data.cutmix_impl == "pallas":
+            # Single-pass fused CutMix+normalize kernel (ops.pallas_aug):
+            # box drawn by the on-chip PRNG, partner mix and ImageNet
+            # normalize in one HBM read/write.  Same box distribution as the
+            # XLA path, different random stream (documented in the module).
+            from semi_supervised_semantic_segmentation_tpu.ops import pallas_aug
+
+            seed = jax.random.randint(kmix, (), 0, jnp.iinfo(jnp.int32).max)
+            if jax.default_backend() != "tpu":
+                # Off-TPU the kernel runs under the Mosaic TPU interpreter
+                # (plain interpret=True lacks the pltpu PRNG primitives).
+                from jax.experimental.pallas import tpu as pltpu
+
+                interpret = pltpu.InterpretParams()
+            else:
+                interpret = False
+            xu_s, pseudo, conf = pallas_aug.cutmix_normalize_pallas(
+                xu_strong01, pseudo, conf, seed,
+                mean=tuple(cfg.data.mean), std=tuple(cfg.data.std),
+                prob=m.cutmix_prob, out_dtype=model.dtype,
+                interpret=interpret,
+            )
+        else:
+            xu_mix01, pseudo, conf = augment.cutmix_batch(
+                xu_strong01, pseudo, conf, kmix, prob=m.cutmix_prob
+            )
+            xu_s = common.normalize(cfg, xu_mix01, model.dtype)
         nl = xl.shape[0]
         lam = consistency_weight(
             state.step, m.consistency_weight, m.rampup_iters, m.rampup_kind

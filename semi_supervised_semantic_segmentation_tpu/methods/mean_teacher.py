@@ -48,8 +48,8 @@ def make_train_step(cfg: Config, model, total_steps: int):
     def train_step(state: TrainState, labeled, unlabeled):
         key = common.step_key(state)
         kl, ku, ks, kdrop = jax.random.split(key, 4)
-        xl01, y = common.weak_view(cfg, labeled, kl)
-        xu01, _ = common.weak_view(cfg, unlabeled, ku)
+        xl01, y, _ = common.weak_view(cfg, labeled, kl)
+        xu01, _, uvalid = common.weak_view(cfg, unlabeled, ku)
         xu_strong01 = common.strong_view(cfg, xu01, ks)
 
         xl = common.normalize(cfg, xl01, model.dtype)
@@ -72,8 +72,13 @@ def make_train_step(cfg: Config, model, total_steps: int):
                 model, params, state.batch_stats, x, kdrop
             )
             sup = losses.cross_entropy(logits[:nl], y, ignore)
+            # valid_mask: mean-fill padding pixels (outside the scaled
+            # content) carry no real signal — exclude them from consistency.
             unsup = losses.mse_consistency(
-                logits[nl:], teacher_logits, reduction=m.consistency_reduction
+                logits[nl:],
+                teacher_logits,
+                valid_mask=uvalid,
+                reduction=m.consistency_reduction,
             )
             return sup + lam * unsup, (new_stats, sup, unsup)
 

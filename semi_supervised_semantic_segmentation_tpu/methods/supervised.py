@@ -32,7 +32,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
     def train_step(state: TrainState, labeled, unlabeled=None):
         key = common.step_key(state)
         kaug, kdrop = jax.random.split(key)
-        x01, y = common.weak_view(cfg, labeled, kaug)
+        x01, y, _ = common.weak_view(cfg, labeled, kaug)
         x = common.normalize(cfg, x01, model.dtype)
 
         def loss_fn(params):

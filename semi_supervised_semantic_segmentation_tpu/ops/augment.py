@@ -275,7 +275,13 @@ def scale_crop_flip_single(
     ``interpolate(bilinear, align_corners=False) -> pad(right/bottom) ->
     crop(oy, ox) -> hflip`` but as one static-shape gather.  Exposed
     separately so parity tests can drive it with fixed parameters against a
-    torch-CPU oracle of the same recipe."""
+    torch-CPU oracle of the same recipe.
+
+    Returns ``(image, label, valid)`` where ``valid`` is the geometric
+    content mask (False where the crop fell outside the scaled image and the
+    output is fill/ignore padding).  SSL methods need it because unlabeled
+    views have no ground-truth labels to carry the ignore marker — padded
+    pixels must not receive pseudo-label or consistency supervision."""
     h = size_hw[0].astype(jnp.float32)
     w = size_hw[1].astype(jnp.float32)
     sh = jnp.maximum(jnp.round(h * s), 1.0)
@@ -309,7 +315,8 @@ def scale_crop_flip_single(
 
     out = jnp.where(flip, out[:, ::-1, :], out)
     lab = jnp.where(flip, lab[:, ::-1], lab)
-    return out, lab.astype(jnp.int32)
+    valid = jnp.where(flip, valid[:, ::-1], valid)
+    return out, lab.astype(jnp.int32), valid
 
 
 def _hat_weights(src: jnp.ndarray, limit: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -374,7 +381,7 @@ def scale_crop_flip_single_matmul(
     lx = jnp.clip(jnp.floor(xs + 0.5), 0, w - 1).astype(jnp.int32)
     lab = jnp.take(jnp.take(label, ly, axis=0), lx, axis=1)
     lab = jnp.where(valid, lab, ignore_index)
-    return out, lab.astype(jnp.int32)
+    return out, lab.astype(jnp.int32), valid
 
 
 def _weak_single(
@@ -434,7 +441,8 @@ def weak_augment_batch(
     impl: str = "matmul",  # 'matmul' (MXU, default) | 'gather' (VPU)
 ):
     """Fused random scale-crop-flip for a batch -> ((B,c,c,3) [0,1] float32,
-    (B,c,c) int32 labels).  One XLA program, static shapes, no host work."""
+    (B,c,c) int32 labels, (B,c,c) bool geometric-validity mask).  One XLA
+    program, static shapes, no host work."""
     b = images_u8.shape[0]
     keys = jax.random.split(key, b)
     fn = partial(

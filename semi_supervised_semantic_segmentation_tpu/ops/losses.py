@@ -129,16 +129,22 @@ def cps_loss(
     logits1: jnp.ndarray,
     logits2: jnp.ndarray,
     ignore_index: int = 255,
+    valid_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Cross-pseudo-supervision: each net is CE-supervised by the other's
     hard argmax pseudo-labels (stop-gradient on the labels).
 
     loss = CE(p1, sg(argmax p2)) + CE(p2, sg(argmax p1))
+
+    ``valid_mask``: optional (...) bool geometric-content mask from the weak
+    aug; False pixels (mean-fill padding outside the scaled image) are
+    excluded from both CE terms — argmax pseudo-labels would otherwise
+    supervise fake content.
     """
     y1 = jax.lax.stop_gradient(jnp.argmax(logits1, axis=-1))
     y2 = jax.lax.stop_gradient(jnp.argmax(logits2, axis=-1))
-    return cross_entropy(logits1, y2, ignore_index) + cross_entropy(
-        logits2, y1, ignore_index
+    return cross_entropy(logits1, y2, ignore_index, extra_mask=valid_mask) + cross_entropy(
+        logits2, y1, ignore_index, extra_mask=valid_mask
     )
 
 

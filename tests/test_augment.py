@@ -56,7 +56,7 @@ def test_scale_crop_flip_matches_torch(h, w, s, oy, ox, flip, crop):
     img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
     lab = rng.randint(0, 5, (h, w)).astype(np.int32)
     fill = (0.485, 0.456, 0.406)
-    ours_img, ours_lab = augment.scale_crop_flip_single(
+    ours_img, ours_lab, ours_valid = augment.scale_crop_flip_single(
         jnp.asarray(img),
         jnp.asarray(lab),
         jnp.asarray([h, w], dtype=jnp.int32),
@@ -71,6 +71,9 @@ def test_scale_crop_flip_matches_torch(h, w, s, oy, ox, flip, crop):
     ref_img, ref_lab = _torch_scale_crop_flip(img, lab, s, oy, ox, flip, crop, fill, 255)
     np.testing.assert_allclose(np.asarray(ours_img), ref_img, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(ours_lab), ref_lab)
+    # Geometric validity mask == the oracle's padding region (labels here are
+    # in [0,5), so ignore in the oracle output marks exactly the padding).
+    np.testing.assert_array_equal(np.asarray(ours_valid), ref_lab != 255)
 
 
 @pytest.mark.parametrize(
@@ -93,10 +96,11 @@ def test_matmul_core_matches_gather_core(h, w, s, oy, ox, flip, crop):
         jnp.asarray(img), jnp.asarray(lab), jnp.asarray([h, w], dtype=jnp.int32),
         jnp.float32(s), jnp.float32(oy), jnp.float32(ox), jnp.asarray(flip),
     )
-    gi, gl = augment.scale_crop_flip_single(*args, **kw)
-    mi, ml = augment.scale_crop_flip_single_matmul(*args, **kw)
+    gi, gl, gv = augment.scale_crop_flip_single(*args, **kw)
+    mi, ml, mv = augment.scale_crop_flip_single_matmul(*args, **kw)
     np.testing.assert_allclose(np.asarray(mi), np.asarray(gi), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ml), np.asarray(gl))
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(gv))
 
 
 @settings(max_examples=10, deadline=None)
@@ -113,14 +117,18 @@ def test_weak_augment_invariants(h, w, seed):
     img = (rng.rand(1, h, w, 3) * 255).astype(np.uint8)
     lab = rng.randint(0, 4, (1, h, w)).astype(np.int32)
     sizes = np.asarray([[h, w]], dtype=np.int32)
-    out, olab = augment.weak_augment_batch(
+    out, olab, ovalid = augment.weak_augment_batch(
         jnp.asarray(img), jnp.asarray(lab), jnp.asarray(sizes),
         jax.random.key(seed), crop_size=32,
     )
     olab = np.asarray(olab)
+    ovalid = np.asarray(ovalid)
     assert out.shape == (1, 32, 32, 3) and olab.shape == (1, 32, 32)
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
     assert np.all((olab == 255) | ((olab >= 0) & (olab < 4)))
+    # Outside the geometric content the label must be ignore (inputs here
+    # have no in-content 255s, so the implication is exact both ways).
+    np.testing.assert_array_equal(ovalid, olab != 255)
 
 
 def test_weak_augment_deterministic_per_key():

@@ -116,3 +116,19 @@ def test_eval_step_confmat_shape_and_counts():
     cm = np.asarray(eval_step(state.params, state.batch_stats, batch))
     assert cm.shape == (4, 4)
     assert cm.sum() == 4 * cfg.data.crop_size**2  # all pixels valid
+
+
+def test_fixmatch_pallas_cutmix_path_runs():
+    """data.cutmix_impl=pallas routes the fixmatch step through the fused
+    ops.pallas_aug kernel (interpret mode off-TPU); one step, finite loss,
+    and the conf-mask metric stays a valid ratio."""
+    cfg = tiny_cfg("fixmatch_cutmix", crop=64, **{"data.cutmix_impl": "pallas"})
+    model = build_model(cfg)
+    method = get_method("fixmatch_cutmix")
+    state = method.init_state(cfg, model, jax.random.key(0), total_steps=50)
+    step = jax.jit(method.make_train_step(cfg, model, total_steps=50))
+    lab = synthetic_batch(2, 64, seed=0, labeled=True)
+    unlab = synthetic_batch(2, 64, seed=1, labeled=False)
+    state, metrics = step(state, lab, unlab)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["mask_ratio"]) <= 1.0

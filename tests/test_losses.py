@@ -89,3 +89,32 @@ def test_cps_loss_symmetric_and_grad_flows_to_logits_only():
     # Gradient exists (stop_gradient only blocks the label path).
     g = jax.grad(lambda a: losses.cps_loss(a, l2))(l1)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_mse_consistency_valid_mask_excludes_padding():
+    """Padding pixels (geometric invalidity from the weak aug) must not
+    contribute to the consistency loss in numerator or denominator."""
+    rng = np.random.RandomState(7)
+    s = rng.randn(1, 4, 4, 3).astype(np.float32)
+    t = rng.randn(1, 4, 4, 3).astype(np.float32)
+    mask = np.zeros((1, 4, 4), bool)
+    mask[0, :2] = True  # top half valid
+    ours = losses.mse_consistency(jnp.asarray(s), jnp.asarray(t), jnp.asarray(mask))
+    oracle = losses.mse_consistency(jnp.asarray(s[:, :2]), jnp.asarray(t[:, :2]))
+    np.testing.assert_allclose(float(ours), float(oracle), rtol=1e-6)
+    # All-invalid -> exactly zero, not NaN.
+    zero = losses.mse_consistency(
+        jnp.asarray(s), jnp.asarray(t), jnp.zeros((1, 4, 4), bool)
+    )
+    assert float(zero) == 0.0
+
+
+def test_cps_loss_valid_mask_excludes_padding():
+    rng = np.random.RandomState(8)
+    l1 = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    l2 = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    mask = np.zeros((1, 4, 4), bool)
+    mask[0, :, :2] = True  # left half valid
+    ours = losses.cps_loss(l1, l2, valid_mask=jnp.asarray(mask))
+    oracle = losses.cps_loss(l1[:, :, :2], l2[:, :, :2])
+    np.testing.assert_allclose(float(ours), float(oracle), rtol=1e-6)
