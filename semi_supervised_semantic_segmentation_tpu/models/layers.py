@@ -13,8 +13,66 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch ``nn.BatchNorm2d`` training semantics.
+
+    Differences from ``flax.linen.BatchNorm`` (both matter for the
+    reference-trajectory parity gate, tests/test_reference_trajectory.py):
+      - the running variance is updated with the *unbiased* batch variance
+        (factor N/(N-1), torch behavior); flax uses the biased one.  At real
+        crop sizes the factor is <1e-5, but at the small spatial sizes of the
+        deepest taps it reaches percents — enough to drift teacher/eval
+        forwards, which read running stats.
+      - normalization is applied as a per-channel ``x * mul + add`` with
+        ``mul/add`` precomputed in f32 (exactly how torch's kernels fold BN);
+        on TPU this is also the cheaper form — one fused multiply-add in the
+        compute dtype instead of a subtract/divide chain.
+
+    Stats are computed in f32 with the one-pass E[x^2]-E[x]^2 formulation
+    (flax's fast-variance default; single HBM read).  Under GSPMD data
+    parallelism the mean reductions span the sharded batch axis, so this is
+    SyncBN for free, same as round 1 (models/layers.py docstring).
+    """
+
+    momentum: float = 0.9  # ra = momentum * ra + (1 - momentum) * batch
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        return x * mul.astype(self.dtype) + add.astype(self.dtype)
 
 
 class Norm(nn.Module):
@@ -27,13 +85,14 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batchnorm":
-            return nn.BatchNorm(
-                use_running_average=not train,
+            # name pinned so param paths (and checkpoints/compat exports)
+            # stay identical to the flax.linen.BatchNorm it replaced.
+            return TorchBatchNorm(
                 momentum=self.momentum,
                 epsilon=1e-5,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
-            )(x)
+                name="BatchNorm_0",
+            )(x, use_running_average=not train)
         if self.kind == "groupnorm":
             groups = min(32, x.shape[-1])
             return nn.GroupNorm(
