@@ -117,17 +117,28 @@ class SyntheticDataset(SegDataset):
         seed: int = 0,
         labeled: bool = True,
         cache: bool = True,
+        appearance_range: Tuple[float, float] = (0.0, 0.0),
     ):
         self.num_classes = num_classes
         self.size = size
         self.canvas_hw = image_hw
         self.seed = seed
         self.labeled = labeled
+        # Appearance continuum for the "gapped" SSL fixture: each blob's hue
+        # is rotated by u * APPEARANCE_SPREAD with u ~ U(appearance_range).
+        # A labeled split drawn from a NARROW range while unlabeled/val span
+        # the FULL range creates the distribution gap real SSL exploits:
+        # pseudo-labels propagate along the hue continuum, so fixmatch can
+        # beat supervised-only — unobservable on the legacy fixed-hue corpus
+        # (BASELINE.md r1 SSL-comparison note; VERDICT r1 item 10).
+        self.appearance_range = appearance_range
         self.ids = [f"syn_{seed}_{i:05d}" for i in range(size)]
         # Samples are deterministic in (seed, index): cache them so repeated
         # epochs don't re-run the procedural generator (it otherwise
         # dominates the host pipeline at 512x512 canvases).
         self._cache: dict = {} if cache else None
+
+    APPEARANCE_SPREAD = 0.55  # max per-channel hue rotation (in [0,1] units)
 
     def get(self, index: int) -> Sample:
         if self._cache is not None:
@@ -145,6 +156,11 @@ class SyntheticDataset(SegDataset):
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         img = rng.rand(h, w, 3).astype(np.float32) * 0.15 + 0.2
         label = np.zeros((h, w), dtype=np.int32)
+        lo, hi = self.appearance_range
+        # Appearance draws come from a SEPARATE stream so blob geometry (and
+        # therefore labels) is identical across appearance ranges — the
+        # gapped fixture changes only how classes LOOK, not where they are.
+        arng = np.random.RandomState(self.seed * 100003 + index + 777_000_001)
         for c in range(1, self.num_classes):
             for _ in range(rng.randint(1, 3)):
                 cy, cx = rng.rand(2) * [h, w]
@@ -154,6 +170,14 @@ class SyntheticDataset(SegDataset):
                     [((c * 67 + k * 41) % 255) / 255.0 for k in range(3)],
                     dtype=np.float32,
                 )
+                if hi > lo or lo > 0.0:
+                    # Appearance continuum: rotate the class hue by a
+                    # per-blob draw u ~ U(lo, hi); the class identity stays
+                    # in the base hue, the appearance mode in the rotation.
+                    u = arng.uniform(lo, hi)
+                    hue = np.mod(hue + u * self.APPEARANCE_SPREAD, 1.0).astype(
+                        np.float32
+                    )
                 img[mask] = 0.7 * hue + 0.3 * img[mask]
                 label[mask] = c
         img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
@@ -322,14 +346,22 @@ def build_dataset(cfg: Config, role: str):
     """role: 'labeled' | 'unlabeled' | 'val'."""
     d = cfg.data
     if d.dataset == "synthetic":
+        # Gapped fixture: labeled appearance u ~ U(0, .25); unlabeled and
+        # val span U(0, 1) — SSL methods must propagate along the continuum.
+        gap = d.synthetic_gapped
+        full = (0.0, 1.0) if gap else (0.0, 0.0)
+        narrow = (0.0, 0.25) if gap else (0.0, 0.0)
         if role == "val":
             return SyntheticDataset(d.num_classes, max(d.synthetic_size // 2, 8),
-                                    seed=cfg.train.seed + 1, labeled=True)
+                                    seed=cfg.train.seed + 1, labeled=True,
+                                    appearance_range=full)
         if role == "unlabeled":
             return SyntheticDataset(d.num_classes, d.synthetic_size,
-                                    seed=cfg.train.seed + 2, labeled=False)
+                                    seed=cfg.train.seed + 2, labeled=False,
+                                    appearance_range=full)
         n = max(1, int(round(d.synthetic_size * split_fraction(d.split))))
-        return SyntheticDataset(d.num_classes, n, seed=cfg.train.seed, labeled=True)
+        return SyntheticDataset(d.num_classes, n, seed=cfg.train.seed, labeled=True,
+                                appearance_range=narrow)
 
     if d.dataset == "voc":
         if role == "val":
