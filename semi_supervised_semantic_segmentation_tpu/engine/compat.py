@@ -201,9 +201,123 @@ def torchvision_resnet_to_flax(
     return unflatten_torch_layout(flat, params_template, stats_template)
 
 
+# ---------------------------------------------------------------------------
+# Official HRNet (HRNet-Image-Classification / HRNet-Semantic-Segmentation
+# backbone naming) -> our encoder
+# ---------------------------------------------------------------------------
+
+_HR_LAYER1 = re.compile(r"^layer1\.(\d+)\.(.+)$")
+_HR_TRANS = re.compile(r"^transition(\d)\.(\d+)\.(.+)$")
+_HR_STAGE = re.compile(r"^stage(\d)\.(\d+)\.(.+)$")
+
+
+def hrnet_to_flax(
+    sd: Dict[str, Any], params_template: Any, stats_template: Any
+) -> Tuple[Any, Any]:
+    """Map an official HRNet state-dict onto our flax HRNet encoder.
+
+    Name map (official -> ours, models/hrnet.py):
+      conv1/bn1, conv2/bn2           -> stem1, stem2
+      layer1.B.convK/bnK(/downsample)-> layer1_B.convK / .downsample
+      transitionT.I.[0.]{0,1}        -> transitionT_I   (new-branch entries
+                                        nest one extra Sequential)
+      stageS.M.branches.I.B.*        -> stageS_mM.branchI_blockB.*
+      stageS.M.fuse_layers.I.J.{0,1} -> stageS_mM.fuse_up_J_to_I   (J > I)
+      stageS.M.fuse_layers.I.J.K.*   -> stageS_mM.fuse_down_J_to_I_K (J < I)
+    Classification heads (incre_modules/downsamp_modules/classifier/
+    last_layer) are dropped.  Weights are resolution-agnostic, so the same
+    map serves any input size.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_conv(base: str, w):
+        flat[f"{base}.Conv_0.weight"] = np.asarray(w)
+
+    def put_bn(base: str, tv: str):
+        bn = f"{base}.Norm_0.BatchNorm_0"
+        flat[f"{bn}.weight"] = np.asarray(sd[f"{tv}.weight"])
+        flat[f"{bn}.bias"] = np.asarray(sd[f"{tv}.bias"])
+        flat[f"{bn}.running_mean"] = np.asarray(sd[f"{tv}.running_mean"])
+        flat[f"{bn}.running_var"] = np.asarray(sd[f"{tv}.running_var"])
+
+    put_conv("stem1", sd["conv1.weight"])
+    put_bn("stem1", "bn1")
+    put_conv("stem2", sd["conv2.weight"])
+    put_bn("stem2", "bn2")
+
+    for key in sd:
+        if not key.endswith(".weight"):
+            continue  # bn bias/stats are pulled alongside their .weight
+        m = _HR_LAYER1.match(key)
+        if m:
+            b, rest = int(m.group(1)), m.group(2)
+            ours = f"layer1_{b}"
+            if rest.startswith("conv"):
+                put_conv(f"{ours}.conv{rest[4]}", sd[key])
+            elif rest.startswith("bn"):
+                put_bn(f"{ours}.conv{rest[2]}", f"layer1.{b}.bn{rest[2]}")
+            elif rest == "downsample.0.weight":
+                put_conv(f"{ours}.downsample", sd[key])
+            elif rest == "downsample.1.weight":
+                put_bn(f"{ours}.downsample", f"layer1.{b}.downsample.1")
+            continue
+        m = _HR_TRANS.match(key)
+        if m:
+            t, idx, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            base = f"transition{t}_{idx}"
+            tvbase = f"transition{t}.{idx}"
+            if rest.startswith("0.") and rest.count(".") == 2:
+                rest = rest[2:]  # unwrap the new-branch Sequential nesting
+                tvbase += ".0"
+            if rest == "0.weight":
+                put_conv(base, sd[key])
+            elif rest == "1.weight":
+                put_bn(base, f"{tvbase}.1")
+            continue
+        m = _HR_STAGE.match(key)
+        if m:
+            s, mod, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            ours = f"stage{s}_m{mod}"
+            bm = re.match(r"^branches\.(\d+)\.(\d+)\.(.+)$", rest)
+            if bm:
+                i, b, r2 = int(bm.group(1)), int(bm.group(2)), bm.group(3)
+                blk = f"{ours}.branch{i}_block{b}"
+                tvb = f"stage{s}.{mod}.branches.{i}.{b}"
+                if r2.startswith("conv"):
+                    put_conv(f"{blk}.conv{r2[4]}", sd[key])
+                elif r2.startswith("bn"):
+                    put_bn(f"{blk}.conv{r2[2]}", f"{tvb}.bn{r2[2]}")
+                elif r2 == "downsample.0.weight":
+                    put_conv(f"{blk}.downsample", sd[key])
+                elif r2 == "downsample.1.weight":
+                    put_bn(f"{blk}.downsample", f"{tvb}.downsample.1")
+                continue
+            fm = re.match(r"^fuse_layers\.(\d+)\.(\d+)\.(.+)$", rest)
+            if fm:
+                i, j, r2 = int(fm.group(1)), int(fm.group(2)), fm.group(3)
+                tvf = f"stage{s}.{mod}.fuse_layers.{i}.{j}"
+                if j > i:
+                    if r2 == "0.weight":
+                        put_conv(f"{ours}.fuse_up_{j}_to_{i}", sd[key])
+                    elif r2 == "1.weight":
+                        put_bn(f"{ours}.fuse_up_{j}_to_{i}", f"{tvf}.1")
+                else:
+                    km = re.match(r"^(\d+)\.([01])\.weight$", r2)
+                    if km:
+                        k, which = int(km.group(1)), int(km.group(2))
+                        base = f"{ours}.fuse_down_{j}_to_{i}_{k}"
+                        if which == 0:
+                            put_conv(base, sd[key])
+                        else:
+                            put_bn(base, f"{tvf}.{k}.1")
+    return unflatten_torch_layout(flat, params_template, stats_template)
+
+
 def load_pretrained_encoder(path: str, params: Any, batch_stats: Any):
-    """Load a torch(vision) ResNet state-dict file into the 'encoder' subtree
-    of a SegModel param tree.  Accepts .pt/.pth (torch.load) or .npz."""
+    """Load a torch encoder state-dict file into the 'encoder' subtree of a
+    SegModel param tree.  Accepts .pt/.pth (torch.load) or .npz.  Routing by
+    key sniffing: torchvision ResNet layouts and official HRNet layouts are
+    supported; anything else raises with the detected shape."""
     if path.endswith(".npz"):
         sd = dict(np.load(path))
     else:
@@ -212,9 +326,20 @@ def load_pretrained_encoder(path: str, params: Any, batch_stats: Any):
         obj = torch.load(path, map_location="cpu", weights_only=True)
         sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    enc_params, enc_stats = torchvision_resnet_to_flax(
-        sd, params["encoder"], batch_stats.get("encoder", {})
-    )
+    if "transition1.0.0.weight" in sd:  # HRNet family
+        enc_params, enc_stats = hrnet_to_flax(
+            sd, params["encoder"], batch_stats.get("encoder", {})
+        )
+    elif "conv1.weight" in sd and "layer1.0.conv1.weight" in sd:
+        enc_params, enc_stats = torchvision_resnet_to_flax(
+            sd, params["encoder"], batch_stats.get("encoder", {})
+        )
+    else:
+        raise ValueError(
+            "model.pretrained: unrecognized state-dict layout (expected a "
+            "torchvision ResNet or an official HRNet); got keys like "
+            f"{sorted(sd)[:5]}"
+        )
     new_params = dict(params)
     new_params["encoder"] = enc_params
     new_stats = dict(batch_stats)

@@ -62,7 +62,19 @@ class SegModel(nn.Module):
         else:
             raise ValueError(f"unknown backbone: {self.backbone}")
 
-        if self.decoder == "unet":
+        if self.decoder == "hrnet_head":
+            from semi_supervised_semantic_segmentation_tpu.models.hrnet import (
+                HRNetV2Head,
+            )
+
+            logits = HRNetV2Head(
+                num_classes=self.num_classes,
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="decoder",
+            )(taps, out_hw, train)
+        elif self.decoder == "unet":
             logits = UNetDecoder(
                 num_classes=self.num_classes,
                 norm=self.norm,

@@ -18,6 +18,7 @@ from semi_supervised_semantic_segmentation_tpu.models.resnet import ResNet
         ("resnet50", "deeplabv3plus", 16),
         ("resnet101", "deeplabv3plus", 16),
         ("hrnet_w48", "unet", 32),
+        ("hrnet_w48", "hrnet_head", 32),  # config 5's reference pairing
     ],
 )
 def test_forward_shapes(backbone, decoder, os_):
