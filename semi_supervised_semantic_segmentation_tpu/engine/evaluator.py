@@ -17,6 +17,7 @@ import numpy as np
 from semi_supervised_semantic_segmentation_tpu.config import Config
 from semi_supervised_semantic_segmentation_tpu.methods import common
 from semi_supervised_semantic_segmentation_tpu.ops import augment, metrics
+from semi_supervised_semantic_segmentation_tpu.ops.resize import resize_bilinear
 
 
 def _window_starts(size: int, crop: int, stride: int):
@@ -36,10 +37,19 @@ def make_eval_step(cfg: Config, model):
     is static, so the whole tiling unrolls into one XLA program."""
     num_classes = cfg.data.num_classes
     mean, std = tuple(cfg.data.mean), tuple(cfg.data.std)
+    eval_size = cfg.data.eval_size
 
     def whole(params, batch_stats, batch):
         x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
-        logits = common.apply_eval(model, params, batch_stats, x)
+        h, w = x.shape[1], x.shape[2]
+        if eval_size > 0 and (h, w) != (eval_size, eval_size):
+            # Forward at eval_size^2 and score logits upsampled back at the
+            # label's native resolution (standard resize-eval protocol).
+            xr = resize_bilinear(x, (eval_size, eval_size), align_corners=False)
+            logits = common.apply_eval(model, params, batch_stats, xr)
+            logits = resize_bilinear(logits, (h, w), align_corners=False)
+        else:
+            logits = common.apply_eval(model, params, batch_stats, x)
         pred = jnp.argmax(logits, axis=-1)
         return metrics.confusion_matrix(
             pred, batch["label"], num_classes, cfg.data.ignore_index

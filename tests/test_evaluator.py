@@ -47,6 +47,53 @@ def test_sliding_counts_all_pixels_on_larger_canvas():
     assert cm.sum() == 2 * 48 * 48
 
 
+def test_sliding_covers_nonsquare_cityscapes_aspect():
+    """Cityscapes-like 1:2 aspect canvas: the window grid must tile both
+    axes (flush windows at each edge) and count every pixel exactly once in
+    the confmat (configs 4/5 run eval_mode=sliding over 1024x2048)."""
+    cfg = tiny_cfg("supervised", crop=32, **{"data.eval_mode": "sliding",
+                                             "data.eval_stride": 24})
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(0), 10)
+    batch = synthetic_batch(1, 32, seed=3)
+    # Fabricate a 48x96 canvas batch (content fills it entirely).
+    rng = np.random.RandomState(5)
+    batch = {
+        "image": (rng.rand(1, 48, 96, 3) * 255).astype(np.uint8),
+        "label": rng.randint(0, 4, (1, 48, 96)).astype(np.int32),
+        "size": np.asarray([[48, 96]], np.int32),
+    }
+    cm = np.asarray(
+        jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch)
+    )
+    assert cm.sum() == 48 * 96
+
+
+def test_eval_size_resizes_whole_image_forward():
+    """data.eval_size: whole-mode forwards at eval_size^2 and scores logits
+    upsampled back to the canvas; eval_size == canvas is a no-op."""
+    cfg_noop = tiny_cfg("supervised", crop=32, **{"data.eval_size": 32})
+    cfg_plain = tiny_cfg("supervised", crop=32)
+    cfg_resized = tiny_cfg("supervised", crop=32, **{"data.eval_size": 64})
+    model = build_model(cfg_plain)
+    method = get_method("supervised")
+    state = method.init_state(cfg_plain, model, jax.random.key(0), 10)
+    batch = synthetic_batch(2, 32, seed=4)
+    cm_plain = np.asarray(
+        jax.jit(make_eval_step(cfg_plain, model))(state.params, state.batch_stats, batch)
+    )
+    cm_noop = np.asarray(
+        jax.jit(make_eval_step(cfg_noop, model))(state.params, state.batch_stats, batch)
+    )
+    np.testing.assert_array_equal(cm_plain, cm_noop)
+    cm_resized = np.asarray(
+        jax.jit(make_eval_step(cfg_resized, model))(state.params, state.batch_stats, batch)
+    )
+    # Scored at native label resolution regardless of the forward size.
+    assert cm_resized.sum() == cm_plain.sum() == 2 * 32 * 32
+
+
 def test_blank_pad_rows_are_ignored():
     cfg = tiny_cfg("supervised", crop=32)
     model = build_model(cfg)
