@@ -38,6 +38,10 @@ def main():
         "--save_preds", default=None, metavar="DIR",
         help="write palette PNG predictions for every val image",
     )
+    p.add_argument(
+        "--export_torch", default=None, metavar="OUT.pth",
+        help="export the restored state as a reference-layout torch checkpoint",
+    )
     args = p.parse_args()
 
     overrides = {}
@@ -60,8 +64,22 @@ def main():
         step = int(s)
     total_steps = max(cfg.train.epochs, 1)
     template = method.init_state(cfg, model, jax.random.key(0), total_steps)
-    state, meta = CheckpointManager(ckpt_dir).restore(template, step)
+    if ckpt_dir.endswith((".pth", ".pt")):
+        # Reference-format interop: evaluate a torch.save checkpoint directly
+        # (BASELINE.json:5 "same checkpoint format").
+        from semi_supervised_semantic_segmentation_tpu.engine import compat
+
+        state = compat.import_reference_checkpoint(ckpt_dir, jax.device_get(template))
+        meta = {}
+    else:
+        state, meta = CheckpointManager(ckpt_dir).restore(template, step)
     state = mesh_lib.replicate(state, mesh)
+
+    if args.export_torch:
+        from semi_supervised_semantic_segmentation_tpu.engine import compat
+
+        compat.export_reference_checkpoint(args.export_torch, jax.device_get(state), meta)
+        print(f"reference-layout checkpoint written to {args.export_torch}")
 
     val = Loader(
         build_dataset(cfg, "val"), cfg.train.eval_batch_size, shuffle=False,

@@ -11,6 +11,8 @@ The TrainState buffer is donated, so params/EMA update in place in HBM.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import Optional
 
@@ -115,6 +117,20 @@ class Trainer:
         )
         self.start_epoch = 0
         self.best_miou = 0.0
+        if cfg.train.init_from_torch:
+            # Reference-format interop: start from a torch.save checkpoint
+            # (model + ema_model/model2 weights; optimizer restarts).
+            from semi_supervised_semantic_segmentation_tpu.engine import compat
+
+            host_state = jax.device_get(self.state)
+            host_state = compat.import_reference_checkpoint(
+                cfg.train.init_from_torch, host_state
+            )
+            self.state = mesh_lib.replicate(host_state, self.mesh)
+            self.log.info(
+                "initialized from reference torch checkpoint %s (step=%d)",
+                cfg.train.init_from_torch, int(jax.device_get(self.state.step)),
+            )
         if cfg.train.resume:
             self._resume(cfg.train.resume)
 
@@ -164,10 +180,34 @@ class Trainer:
                     yield (mesh_lib.shard_batch(lab, self.mesh), None)
             data_epoch += 1
 
+    def _device_prefetch(self, it, depth: int = 2):
+        """Double-buffer the host->HBM feed: a daemon thread pulls from the
+        batch stream (canvas assembly + shard_batch/device_put happen there)
+        while the main thread dispatches steps, so the H2D copy of batch N+1
+        fully overlaps step N on device (VERDICT r1 item 9: close the
+        full-loop vs step-only gap)."""
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def produce():
+            try:
+                for item in it:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
     def _batches(self, epoch: int):
-        """iters_per_epoch batches from the persistent stream."""
+        """iters_per_epoch batches from the persistent device-prefetched
+        stream."""
         if not hasattr(self, "_batch_stream") or self._batch_stream is None:
-            self._batch_stream = self._stream(epoch)
+            self._batch_stream = self._device_prefetch(self._stream(epoch))
         for _ in range(self.iters_per_epoch):
             yield next(self._batch_stream)
 

@@ -47,6 +47,10 @@ def main():
     )
     p.add_argument("--resume", default=None, help="'auto', ckpt dir, or dir:step")
     p.add_argument("--work_dir", default=None)
+    p.add_argument(
+        "--init_from_torch", default=None, metavar="CKPT.pth",
+        help="initialize weights from a reference-layout torch checkpoint",
+    )
     args = p.parse_args()
 
     overrides = parse_overrides(args.set)
@@ -54,6 +58,8 @@ def main():
         overrides["train.resume"] = args.resume
     if args.work_dir is not None:
         overrides["train.work_dir"] = args.work_dir
+    if args.init_from_torch is not None:
+        overrides["train.init_from_torch"] = args.init_from_torch
     cfg = load_config(args.config, overrides)
     from semi_supervised_semantic_segmentation_tpu.parallel import distributed
 
