@@ -1,12 +1,29 @@
 """Measure single-chip step throughput for every experiment config
 (BASELINE.json:7-11 shapes, synthetic feed, batches resident on device) and
-print a markdown-ready table for BASELINE.md."""
+print a markdown-ready table for BASELINE.md — including an MFU estimate
+from XLA's own cost analysis (program FLOPs / wall-time / chip peak)."""
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# bf16 MXU peak per chip; v5e = 197 TFLOP/s (override for other chips).
+PEAK_FLOPS = float(os.environ.get("SSTPU_PEAK_FLOPS", 197e12))
+
+
+def program_flops(step, state, args):
+    """FLOPs of the compiled step from XLA cost analysis (None if the
+    backend doesn't expose it)."""
+    try:
+        ca = step.lower(state, *args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 from semi_supervised_semantic_segmentation_tpu.config import load_config, update_config
 from semi_supervised_semantic_segmentation_tpu.methods import get_method
@@ -37,8 +54,8 @@ def batch(b, crop, num_classes, labeled, seed=0):
 
 
 def main():
-    print("| config | per-chip batch | ms/step | img/s/chip |", flush=True)
-    print("|---|---|---|---|", flush=True)
+    print("| config | per-chip batch | ms/step | img/s/chip | est. MFU |", flush=True)
+    print("|---|---|---|---|---|", flush=True)
     for path, bl, bu in RUNS:
         cfg = load_config(path)
         cfg = update_config(
@@ -57,6 +74,7 @@ def main():
         step = jax.jit(method.make_train_step(cfg, model, 1000), donate_argnums=0)
         lab = batch(bl, crop, nc, True)
         args = (lab, batch(bu, crop, nc, False, seed=1)) if method.uses_unlabeled else (lab,)
+        flops = program_flops(step, state, args)
         state, m = step(state, *args)
         state, m = step(state, *args)
         jax.block_until_ready(m["loss"])
@@ -66,9 +84,10 @@ def main():
         jax.block_until_ready(m["loss"])
         dt = (time.perf_counter() - t0) / ITERS
         n_img = bl + (bu if method.uses_unlabeled else 0)
+        mfu = f"{flops / dt / PEAK_FLOPS:.1%}" if flops else "n/a"
         print(
             f"| {cfg.name} | {bl}+{bu if method.uses_unlabeled else 0} @ {crop}² "
-            f"| {dt * 1e3:.1f} | {n_img / dt:.1f} |",
+            f"| {dt * 1e3:.1f} | {n_img / dt:.1f} | {mfu} |",
             flush=True,
         )
         del state, step, lab, args, m
