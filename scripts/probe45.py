@@ -1,0 +1,75 @@
+"""Scratch probe for config 4/5 perf work: time one config's step with
+config-dict overrides from the CLI, e.g.
+
+  python scripts/probe45.py configs/5_hrnet_w48_1024_full_ssl.yaml \
+      --set model.remat= --bl 2 --bu 2 [--profile /tmp/trace]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_semantic_segmentation_tpu.config import load_config, update_config
+from semi_supervised_semantic_segmentation_tpu.methods import get_method
+from semi_supervised_semantic_segmentation_tpu.models import build_model
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--set", action="append", default=[])
+    ap.add_argument("--bl", type=int, default=2)
+    ap.add_argument("--bu", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--profile", default="")
+    args = ap.parse_args()
+
+    overrides = {"data.dataset": "synthetic", "model.pretrained": "",
+                 "train.labeled_batch_size": args.bl,
+                 "train.unlabeled_batch_size": max(args.bu, 1)}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = v
+    cfg = load_config(args.config)
+    cfg = update_config(cfg, overrides)
+    crop, nc = cfg.data.crop_size, cfg.data.num_classes
+
+    rng = np.random.RandomState(0)
+
+    def mk(b, labeled):
+        return {
+            "image": jnp.asarray((rng.rand(b, crop, crop, 3) * 255).astype(np.uint8)),
+            "label": jnp.asarray(
+                rng.randint(0, nc, (b, crop, crop)).astype(np.int32)
+                if labeled else np.full((b, crop, crop), 255, np.int32)),
+            "size": jnp.asarray(np.full((b, 2), crop, np.int32)),
+        }
+
+    model = build_model(cfg)
+    method = get_method(cfg.method.name)
+    state = method.init_state(cfg, model, jax.random.key(0), 1000)
+    step = jax.jit(method.make_train_step(cfg, model, 1000), donate_argnums=0)
+    lab = mk(args.bl, True)
+    a = (lab, mk(args.bu, False)) if method.uses_unlabeled else (lab,)
+    state, m = step(state, *a)
+    state, m = step(state, *a)
+    jax.block_until_ready(m["loss"])
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, *a)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"trace -> {args.profile}")
+    n = args.bl + (args.bu if method.uses_unlabeled else 0)
+    print(f"{dt * 1e3:.1f} ms/step  {n / dt:.2f} img/s  (overrides={overrides})")
+
+
+if __name__ == "__main__":
+    main()

@@ -298,6 +298,18 @@ def validate(cfg: Config) -> None:
         raise ValueError("model_parallel is reserved and must be 1")
     if cfg.data.crop_size % 32 != 0:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
+    r = cfg.model.remat
+    if not (
+        r in ("none", "", "blocks")
+        or (
+            r.startswith("stages:")
+            and all(s in "1234" for s in r[len("stages:"):].split(","))
+        )
+    ):
+        raise ValueError(
+            f"model.remat={r!r}: expected 'none', 'blocks', or 'stages:i,j' "
+            "with stages from 1-4 (HRNet: 1 = layer1)"
+        )
 
 
 def save_config(cfg: Config, path: str) -> None:

@@ -134,22 +134,37 @@ class HRNet(nn.Module):
     dtype: Any = jnp.bfloat16
     # (num_modules, num_branches) per stage 2..4; 4 blocks per branch.
     stage_modules: Tuple[int, int, int] = (1, 4, 3)
-    remat: bool = False  # checkpoint each HRModule (memory vs FLOPs)
+    # Rematerialization plan: which parts recompute activations on the
+    # backward pass.  () = none; (1,2,3,4) = layer1 + every HR stage (the
+    # "blocks" config value).  Selective plans trade HBM for recompute
+    # FLOPs at finer grain than all-or-nothing: at 1024² the no-remat step
+    # needs ~18.6G (> 15.75G/chip on v5e), so freeing only the largest
+    # stages fits while recomputing less than the full plan.
+    remat_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         w = self.width
         widths = (w, 2 * w, 4 * w, 8 * w)
         kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
+
         # nn.remat over list-of-arrays args: train (argnum 2) stays static.
-        module_cls = nn.remat(HRModule, static_argnums=(2,)) if self.remat else HRModule
+        def module_for(stage: int):
+            if stage in self.remat_stages:
+                return nn.remat(HRModule, static_argnums=(2,))
+            return HRModule
 
         x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
         c1 = x  # stride 2
         x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem2", **kw)(x, train)
 
+        layer1_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,))
+            if 1 in self.remat_stages
+            else Bottleneck
+        )
         for b in range(4):
-            x = Bottleneck(
+            x = layer1_cls(
                 planes=64, downsample=(b == 0), name=f"layer1_{b}", **kw
             )(x, train)  # -> 256 ch @ s4
 
@@ -161,7 +176,7 @@ class HRNet(nn.Module):
         xs = [b0, b1]
 
         for m in range(self.stage_modules[0]):
-            xs = module_cls(widths[:2], name=f"stage2_m{m}", **kw)(xs, train)
+            xs = module_for(2)(widths[:2], name=f"stage2_m{m}", **kw)(xs, train)
 
         xs.append(
             ConvNormAct(
@@ -169,7 +184,7 @@ class HRNet(nn.Module):
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[1]):
-            xs = module_cls(widths[:3], name=f"stage3_m{m}", **kw)(xs, train)
+            xs = module_for(3)(widths[:3], name=f"stage3_m{m}", **kw)(xs, train)
 
         xs.append(
             ConvNormAct(
@@ -177,6 +192,6 @@ class HRNet(nn.Module):
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[2]):
-            xs = module_cls(widths[:4], name=f"stage4_m{m}", **kw)(xs, train)
+            xs = module_for(4)(widths[:4], name=f"stage4_m{m}", **kw)(xs, train)
 
         return {"c1": c1, "c2": xs[0], "c3": xs[1], "c4": xs[2], "c5": xs[3]}

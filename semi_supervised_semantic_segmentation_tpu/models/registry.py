@@ -20,6 +20,17 @@ _DTYPES = {
 }
 
 
+def _remat_stages(remat: str) -> Tuple[int, ...]:
+    """Parse a remat plan string into HRNet stage ids (1 = layer1)."""
+    if remat in ("", "none"):
+        return ()
+    if remat == "blocks":
+        return (1, 2, 3, 4)
+    if remat.startswith("stages:"):
+        return tuple(int(s) for s in remat[len("stages:"):].split(",") if s)
+    raise ValueError(f"unknown remat plan: {remat!r}")
+
+
 class SegModel(nn.Module):
     """Encoder + decoder; returns (N, H, W, num_classes) f32 logits at input
     resolution.  ``train=True`` enables BN batch-stat updates + dropout."""
@@ -33,7 +44,11 @@ class SegModel(nn.Module):
     dtype: Any = jnp.bfloat16
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
-    remat: bool = False
+    # Remat plan: "" / "none" = keep all activations; "blocks" = checkpoint
+    # every residual block (ResNet) / layer1 + every HR module (HRNet);
+    # "stages:3,4" (HRNet only) = checkpoint just those stages — selective
+    # plans fit 1024² in HBM while recomputing less than the full plan.
+    remat: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,7 +60,7 @@ class SegModel(nn.Module):
                 norm=self.norm,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
-                remat=self.remat,
+                remat=(self.remat not in ("", "none")),
                 name="encoder",
             )(x, train)
         elif self.backbone == "hrnet_w48":
@@ -56,7 +71,7 @@ class SegModel(nn.Module):
                 norm=self.norm,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
-                remat=self.remat,
+                remat_stages=_remat_stages(self.remat),
                 name="encoder",
             )(x, train)
         else:
@@ -113,5 +128,5 @@ def build_model(cfg: Config) -> SegModel:
         dtype=_DTYPES[cfg.model.compute_dtype],
         aspp_dilations=cfg.model.aspp_dilations,
         decoder_channels=cfg.model.decoder_channels,
-        remat=(cfg.model.remat == "blocks"),
+        remat=cfg.model.remat if cfg.model.remat != "none" else "",
     )

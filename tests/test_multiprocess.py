@@ -79,7 +79,10 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     loader = Loader(ds, batch_size=4, seed=0, shuffle=False, num_workers=1)
     batch = next(loader.epoch(0))
     batch.pop("index")
-    mesh = mesh_lib.make_mesh(-1, 1)
+    # Cap data-parallel at the batch size: under the suite's forced-8-device
+    # CPU the full mesh would need batch%8==0, and mesh width doesn't change
+    # the psum-reduced loss.
+    mesh = mesh_lib.make_mesh(min(4, len(jax.devices())), 1)
     model = build_model(cfg)
     state = supervised.init_state(cfg, model, jax.random.key(0), total_steps=10)
     state = mesh_lib.replicate(state, mesh)
