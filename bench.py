@@ -89,12 +89,17 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, lab, unlab)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # materialize: warmup fully drained
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, lab, unlab)
-    jax.block_until_ready(metrics["loss"])
+    # Time to the VALUE of the final loss, not block_until_ready: on the
+    # axon-relayed TPU backend block_until_ready (scalar or whole tree) can
+    # return before the enqueued programs finish executing (observed >5x
+    # under-reporting on the CPS config; profiler device time is the ground
+    # truth and a device_get of the chained loss cannot return early).
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     images_per_sec = (LABELED + UNLABELED) * ITERS / dt

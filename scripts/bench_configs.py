@@ -81,7 +81,11 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, m = step(state, *args)
-        jax.block_until_ready(m["loss"])
+        # Materialize the loss VALUE: on the axon-relayed backend
+        # block_until_ready (scalar or full tree) can return before the
+        # enqueued programs drain, under-reporting large steps by >5x
+        # (see scripts/probe45.py).  device_get cannot lie.
+        float(m["loss"])
         dt = (time.perf_counter() - t0) / ITERS
         n_img = bl + (bu if method.uses_unlabeled else 0)
         mfu = f"{flops / dt / PEAK_FLOPS:.1%}" if flops else "n/a"

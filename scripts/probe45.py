@@ -62,13 +62,21 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, *a)
-    jax.block_until_ready(m["loss"])
+    # Materialize the final loss VALUE on the host: on the axon-relayed
+    # backend both block_until_ready(loss) and block_until_ready(full tree)
+    # returned before the enqueued programs finished (wall-clock said
+    # 12-29 ms/step for the CPS config while the profiler trace showed
+    # 188 ms/step of device time).  An actual device_get cannot lie.
+    loss_val = float(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     if args.profile:
         jax.profiler.stop_trace()
         print(f"trace -> {args.profile}")
     n = args.bl + (args.bu if method.uses_unlabeled else 0)
-    print(f"{dt * 1e3:.1f} ms/step  {n / dt:.2f} img/s  (overrides={overrides})")
+    print(
+        f"{dt * 1e3:.1f} ms/step  {n / dt:.2f} img/s  loss={loss_val:.4f}  "
+        f"(overrides={overrides})"
+    )
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from semi_supervised_semantic_segmentation_tpu.models.layers import ConvNormAct
+from semi_supervised_semantic_segmentation_tpu.models.layers import ConvNormAct, Norm
 from semi_supervised_semantic_segmentation_tpu.ops.resize import resize_bilinear
 
 
@@ -48,14 +48,33 @@ class ASPP(nn.Module):
             self.features, (1, 1), norm=self.norm,
             bn_momentum=self.bn_momentum, dtype=self.dtype, name="pool",
         )(pooled.astype(x.dtype), train)
-        pooled = jnp.broadcast_to(pooled, (n, h, w, self.features)).astype(x.dtype)
-        branches.append(pooled)
 
-        out = jnp.concatenate(branches, axis=-1)
-        out = ConvNormAct(
-            self.features, (1, 1), norm=self.norm,
-            bn_momentum=self.bn_momentum, dtype=self.dtype, name="project",
-        )(out, train)
+        # Projection restructured for TPU (same math as the usual
+        # concat(5x256=1280 ch) -> 1x1 conv): a 1x1 conv over a channel
+        # concat is the sum of per-branch 1x1 convs with the row blocks of
+        # the projection kernel, so the 1280-channel concat (and its layout
+        # copies, a top line in the config-4 profile) is never materialized.
+        # The image-pool branch contributes through a 1x1-resolution GEMM
+        # broadcast into the sum instead of a broadcast-then-GEMM.
+        acc = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="project0",
+        )(branches[0])
+        for i, b in enumerate(branches[1:]):
+            acc = acc + nn.Conv(
+                self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"project{i + 1}",
+            )(b)
+        pooled = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="project_pool",
+        )(pooled)
+        acc = acc + jnp.broadcast_to(pooled, acc.shape).astype(acc.dtype)
+        out = Norm(
+            kind=self.norm, momentum=self.bn_momentum, dtype=self.dtype,
+            name="project_norm",
+        )(acc, train)
+        out = nn.relu(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
@@ -85,11 +104,23 @@ class DeepLabV3Plus(nn.Module):
         )(taps["c2"], train)
 
         x = resize_bilinear(x, (low.shape[1], low.shape[2]), align_corners=False)
-        x = jnp.concatenate([x.astype(low.dtype), low], axis=-1)
-        x = ConvNormAct(
-            self.features, (3, 3), norm=self.norm,
-            bn_momentum=self.bn_momentum, dtype=self.dtype, name="fuse1",
-        )(x, train)
+        # fuse1 restructured (same math as concat(256+48=304) -> 3x3 conv):
+        # a conv over a channel concat equals the sum of convs with the
+        # input-channel blocks of the kernel.  Avoids materializing the
+        # 304-channel concat and its relayout copies/weight-grad padding.
+        pre = nn.Conv(
+            self.features, (3, 3), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="fuse1a",
+        )(x.astype(low.dtype)) + nn.Conv(
+            self.features, (3, 3), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="fuse1b",
+        )(low)
+        x = nn.relu(
+            Norm(
+                kind=self.norm, momentum=self.bn_momentum, dtype=self.dtype,
+                name="fuse1_norm",
+            )(pre, train)
+        )
         x = ConvNormAct(
             self.features, (3, 3), norm=self.norm,
             bn_momentum=self.bn_momentum, dtype=self.dtype, name="fuse2",

@@ -250,3 +250,46 @@ def test_load_pretrained_encoder_rejects_unknown_layout(tmp_path):
         compat.load_pretrained_encoder(
             path, {"encoder": {}, "decoder": {}}, {"encoder": {}}
         )
+
+
+def test_hrnetv2_head_equals_concat_formulation():
+    """The restructured head (per-branch fuse GEMMs at native resolution,
+    upsampled and summed) must equal the official concat -> 1x1 conv -> BN ->
+    ReLU -> classifier head exactly (both are linear-algebra identities)."""
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRNetV2Head
+    from semi_supervised_semantic_segmentation_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    n, s = 2, 8  # stride-4 base resolution s x s
+    chans = {"c2": 8, "c3": 16, "c4": 32, "c5": 64}
+    taps = {
+        k: jnp.asarray(
+            rng.randn(n, s >> i, s >> i, c).astype(np.float32)
+        )
+        for i, (k, c) in enumerate(chans.items())
+    }
+    head = HRNetV2Head(num_classes=5, dtype=jnp.float32)
+    variables = head.init(jax.random.key(0), taps, (4 * s, 4 * s), False)
+    got = head.apply(variables, taps, (4 * s, 4 * s), False)
+
+    # Official formulation from the same parameters.
+    p = variables["params"]
+    width = sum(chans.values())
+    kernels = [np.asarray(p[f"fuse{i}"]["kernel"])[0, 0] for i in range(4)]
+    w_concat = np.concatenate(kernels, axis=0)  # (sum_ci, width)
+    ups = [np.asarray(taps["c2"])]
+    for k in ("c3", "c4", "c5"):
+        ups.append(np.asarray(resize_bilinear(taps[k], (s, s), align_corners=False)))
+    x = np.concatenate(ups, axis=-1)
+    # Eval-mode BN (running stats mean 0 / var 1), matching got's train=False.
+    bn = p["fuse_norm"]["BatchNorm_0"]
+    pre = x @ w_concat + np.asarray(p["fuse0"]["bias"])
+    pre = pre / np.sqrt(1.0 + 1e-5) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+    act = np.maximum(pre, 0.0)
+    logits = act @ np.asarray(p["head"]["kernel"])[0, 0] + np.asarray(
+        p["head"]["bias"]
+    )
+    want = np.asarray(
+        resize_bilinear(jnp.asarray(logits), (4 * s, 4 * s), align_corners=False)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

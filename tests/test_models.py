@@ -65,3 +65,54 @@ def test_train_mode_updates_bn_stats():
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
     assert changed
+
+
+def test_deeplab_split_projection_equals_concat_formulation():
+    """ASPP projection and decoder fuse1 are restructured as per-input convs
+    summed (TPU: no 1280/304-channel concats).  Both are linear-algebra
+    identities with the concat -> conv formulation; verify against a direct
+    NumPy evaluation of the concat form built from the same kernels."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.deeplab import ASPP
+    from semi_supervised_semantic_segmentation_tpu.models.layers import ConvNormAct
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    aspp = ASPP(features=16, dilations=(2, 4, 6), dtype=jnp.float32, dropout=0.0)
+    variables = aspp.init(jax.random.key(0), x, False)
+    got = np.asarray(aspp.apply(variables, x, False))
+
+    p = variables["params"]
+
+    def cna(name, inp, dilation=1):
+        k = np.asarray(p[name]["Conv_0"]["kernel"])
+        pad = (k.shape[0] // 2) * dilation
+        out = jax.lax.conv_general_dilated(
+            inp, jnp.asarray(k), (1, 1), [(pad, pad), (pad, pad)],
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        bn = p[name]["Norm_0"]["BatchNorm_0"]
+        out = out / np.sqrt(1.0 + 1e-5) * np.asarray(bn["scale"]) + np.asarray(
+            bn["bias"]
+        )
+        return np.maximum(np.asarray(out), 0.0)
+
+    branches = [cna("b0", x)]
+    for i, d in enumerate((2, 4, 6)):
+        branches.append(cna(f"b{i + 1}", x, dilation=d))
+    pooled = np.asarray(x).mean(axis=(1, 2), keepdims=True)
+    pooled = cna("pool", jnp.asarray(pooled))
+    branches.append(np.broadcast_to(pooled, branches[0].shape))
+
+    cat = np.concatenate(branches, axis=-1)
+    w_cat = np.concatenate(
+        [np.asarray(p[f"project{i}"]["kernel"])[0, 0] for i in range(4)]
+        + [np.asarray(p["project_pool"]["kernel"])[0, 0]],
+        axis=0,
+    )
+    pre = cat @ w_cat
+    bn = p["project_norm"]["BatchNorm_0"]
+    pre = pre / np.sqrt(1.0 + 1e-5) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+    want = np.maximum(pre, 0.0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -59,3 +59,50 @@ def test_bilinear_identity():
 def test_bilinear_dtype_preserved_for_bf16():
     x = jnp.ones((1, 8, 8, 3), dtype=jnp.bfloat16)
     assert resize.resize_bilinear(x, (16, 16)).dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("s", [2, 3, 4, 8])
+@pytest.mark.parametrize("in_hw", [(5, 7), (16, 16), (1, 9)])
+def test_integer_upsample_phase_path_matches_torch(s, in_hw):
+    """Integer-factor upsamples take the phase-decomposed fast path
+    (no matmul); it must match torch bilinear align_corners=False exactly,
+    including the edge clamp."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(s)
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    out_hw = (in_hw[0] * s, in_hw[1] * s)
+    ours = np.asarray(
+        resize.resize_bilinear(jnp.asarray(x), out_hw, align_corners=False)
+    )
+    ref = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw,
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_integer_upsample_mixed_axes():
+    """H upsample with W passthrough (and vice versa) via the fast path."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 6, 10, 2).astype(np.float32)
+    ours = np.asarray(resize.resize_bilinear(jnp.asarray(x), (12, 10)))
+    ref = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(12, 10),
+            mode="bilinear", align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
