@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--bu", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--profile", default="")
+    ap.add_argument(
+        "--per-dispatch", action="store_true",
+        help="print the wall time of each step() call (dispatch latency) and "
+        "of the final loss materialization, to separate host/relay dispatch "
+        "cost from device compute",
+    )
     args = ap.parse_args()
 
     overrides = {"data.dataset": "synthetic", "model.pretrained": "",
@@ -60,14 +66,20 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for it in range(args.iters):
+        td = time.perf_counter()
         state, m = step(state, *a)
+        if args.per_dispatch:
+            print(f"  dispatch[{it}] {1e3 * (time.perf_counter() - td):.1f} ms", flush=True)
     # Materialize the final loss VALUE on the host: on the axon-relayed
     # backend both block_until_ready(loss) and block_until_ready(full tree)
     # returned before the enqueued programs finished (wall-clock said
     # 12-29 ms/step for the CPS config while the profiler trace showed
     # 188 ms/step of device time).  An actual device_get cannot lie.
+    tf = time.perf_counter()
     loss_val = float(m["loss"])
+    if args.per_dispatch:
+        print(f"  final device_get {1e3 * (time.perf_counter() - tf):.1f} ms", flush=True)
     dt = (time.perf_counter() - t0) / args.iters
     if args.profile:
         jax.profiler.stop_trace()
