@@ -11,6 +11,12 @@ config explicitly (env set first so a non-axon environment behaves too).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Do NOT register a TPU session from the test suite: with the axon
+# sitecustomize, ANY jax import that leaves PALLAS_AXON_POOL_IPS set claims
+# a session on the remote-compile service, and a concurrent session wedges
+# in-flight TPU jobs (see .claude/skills/verify/SKILL.md).  Tests are
+# CPU-only; clear it before jax initializes.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
