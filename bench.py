@@ -28,7 +28,7 @@ CROP = 512
 LABELED = 8
 UNLABELED = 8
 WARMUP = 3
-ITERS = 20
+ITERS = 50  # amortize the final device_get RTT (remote relay) to <1% of the window
 
 
 def main():

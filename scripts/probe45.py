@@ -31,6 +31,12 @@ def main():
         "of the final loss materialization, to separate host/relay dispatch "
         "cost from device compute",
     )
+    ap.add_argument(
+        "--fetch-each", action="store_true",
+        help="materialize the loss after EVERY step (execution queue depth "
+        "1) instead of once at the end — isolates queue-depth-dependent "
+        "relay stalls (observed on the CPS config)",
+    )
     args = ap.parse_args()
 
     overrides = {"data.dataset": "synthetic", "model.pretrained": "",
@@ -62,7 +68,10 @@ def main():
     a = (lab, mk(args.bu, False)) if method.uses_unlabeled else (lab,)
     state, m = step(state, *a)
     state, m = step(state, *a)
-    jax.block_until_ready(m["loss"])
+    # Materialize (device_get) in warmup: the relay's one-time first-result
+    # cost for large programs (~74 s observed on the CPS config) must land
+    # here, not in the timed window; block_until_ready does not drain.
+    float(m["loss"])
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
@@ -71,6 +80,10 @@ def main():
         state, m = step(state, *a)
         if args.per_dispatch:
             print(f"  dispatch[{it}] {1e3 * (time.perf_counter() - td):.1f} ms", flush=True)
+        if args.fetch_each:
+            tq = time.perf_counter()
+            float(m["loss"])
+            print(f"  fetch[{it}] {1e3 * (time.perf_counter() - tq):.1f} ms", flush=True)
     # Materialize the final loss VALUE on the host: on the axon-relayed
     # backend both block_until_ready(loss) and block_until_ready(full tree)
     # returned before the enqueued programs finished (wall-clock said

@@ -300,15 +300,17 @@ def validate(cfg: Config) -> None:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
     r = cfg.model.remat
     if not (
-        r in ("none", "", "blocks")
+        r in ("none", "", "blocks", "branches")
         or (
             r.startswith("stages:")
             and all(s in "1234" for s in r[len("stages:"):].split(","))
         )
     ):
         raise ValueError(
-            f"model.remat={r!r}: expected 'none', 'blocks', or 'stages:i,j' "
-            "with stages from 1-4 (HRNet: 1 = layer1)"
+            f"model.remat={r!r}: expected 'none', 'blocks', 'branches', or "
+            "'stages:i,j' with stages from 1-4 (HRNet: 1 = layer1; "
+            "'branches' checkpoints only the residual-block chains, leaving "
+            "fuse layers stored)"
         )
 
 

@@ -22,6 +22,7 @@ exactly like a ResNet pyramid.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
@@ -38,15 +39,25 @@ class HRModule(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    # True = checkpoint each branch BasicBlock ('branches' remat plan): the
+    # block chains recompute on backward but the fuse layers (stride-2 convs
+    # + upsamples, the layout-copy-heavy part of the profile) keep their
+    # activations stored.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False):
         n = len(self.channels)
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(2,))
+            if self.remat_blocks
+            else BasicBlock
+        )
         ys = []
         for i, c in enumerate(self.channels):
             x = xs[i]
             for b in range(self.num_blocks):
-                x = BasicBlock(
+                x = block_cls(
                     planes=c,
                     downsample=(b == 0 and x.shape[-1] != c),
                     norm=self.norm,
@@ -153,18 +164,25 @@ class HRNet(nn.Module):
     # needs ~18.6G (> 15.75G/chip on v5e), so freeing only the largest
     # stages fits while recomputing less than the full plan.
     remat_stages: Tuple[int, ...] = ()
+    # 'module' = nn.remat whole HRModules (checkpoints everything inside,
+    # fuse resizes included); 'branch_blocks' = checkpoint only the branch
+    # BasicBlocks, keep fuse-layer activations stored ('branches' plan).
+    remat_scope: str = "module"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         w = self.width
         widths = (w, 2 * w, 4 * w, 8 * w)
         kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
+        branch_scope = self.remat_scope == "branch_blocks"
 
         # nn.remat over list-of-arrays args: train (argnum 2) stays static.
         def module_for(stage: int):
-            if stage in self.remat_stages:
-                return nn.remat(HRModule, static_argnums=(2,))
-            return HRModule
+            if stage not in self.remat_stages:
+                return HRModule
+            if branch_scope:
+                return functools.partial(HRModule, remat_blocks=True)
+            return nn.remat(HRModule, static_argnums=(2,))
 
         x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
         c1 = x  # stride 2

@@ -24,7 +24,7 @@ def _remat_stages(remat: str) -> Tuple[int, ...]:
     """Parse a remat plan string into HRNet stage ids (1 = layer1)."""
     if remat in ("", "none"):
         return ()
-    if remat == "blocks":
+    if remat in ("blocks", "branches"):
         return (1, 2, 3, 4)
     if remat.startswith("stages:"):
         return tuple(int(s) for s in remat[len("stages:"):].split(",") if s)
@@ -72,6 +72,7 @@ class SegModel(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 remat_stages=_remat_stages(self.remat),
+                remat_scope="branch_blocks" if self.remat == "branches" else "module",
                 name="encoder",
             )(x, train)
         else:

@@ -54,43 +54,6 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(src, 0, in_size - 1)
 
 
-def _upsample_int_1d(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
-    """Exact integer-factor bilinear upsample (align_corners=False) along one
-    axis via phase decomposition: every output phase p of s is a 2-tap
-    stencil with CONSTANT weights (src = i + (p+0.5)/s - 0.5), so the whole
-    upsample is 2s fused multiply-adds over edge-clamped shifts plus one
-    interleaving reshape — no matmul, no transpose of the operand into a
-    contraction layout.  On TPU this removes the layout copies that made the
-    matmul formulation a top profile line for the HRNet fuse/head upsamples.
-    Edge-clamped shifts reproduce torch's boundary clamp exactly (at i=0 a
-    negative-offset phase reads in[0] for both taps, i.e. the clamped value).
-    """
-    if s == 1:
-        return x
-    length = x.shape[axis]
-    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(x, length - 1, length, axis=axis)
-    xm = jnp.concatenate(
-        [first, jax.lax.slice_in_dim(x, 0, length - 1, axis=axis)], axis=axis
-    )  # in[i-1], edge-clamped
-    xp = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 1, length, axis=axis), last], axis=axis
-    )  # in[i+1], edge-clamped
-    phases = []
-    for p in range(s):
-        f = (p + 0.5) / s - 0.5
-        if f >= 0:
-            w_hi = jnp.asarray(f, x.dtype)
-            phases.append(x * (1 - w_hi) + xp * w_hi)
-        else:
-            w_hi = jnp.asarray(1.0 + f, x.dtype)
-            phases.append(xm * (1 - w_hi) + x * w_hi)
-    y = jnp.stack(phases, axis=axis + 1)
-    shape = list(x.shape)
-    shape[axis] = length * s
-    return y.reshape(shape)
-
-
 def resize_bilinear(
     x: jnp.ndarray,
     out_hw: tuple[int, int],
@@ -98,22 +61,23 @@ def resize_bilinear(
 ) -> jnp.ndarray:
     """Bilinear resize of NHWC (or HWC / NHW) arrays along the two spatial
     axes.  Matches ``torch.nn.functional.interpolate(mode='bilinear')``.
+
+    Formulation note (measured, round 2): a phase-decomposed stencil path
+    for integer upscale factors (2s shifted multiply-adds + an interleaving
+    reshape instead of the two matmuls) was implemented and profiled on the
+    chip — it LOST to the matmul path by ~9% of whole-step time on the
+    HRNet config: the interleave stack/reshape and edge-clamp shifts turn
+    into layout copies (a 1-element boundary slice of a wide-channel tensor
+    pads to a full (8,128) tile, up to 128x memory blowup), while the
+    banded matmuls run on the MXU in the operand's native layout.  Keep the
+    matmul formulation; revisit only with a Pallas kernel that fuses the
+    interleave into the surrounding elementwise work.
     """
     batched = x.ndim == 4
     if not batched:
         x = x[None]
     n, h, w, c = x.shape
     oh, ow = out_hw
-    if (
-        not align_corners
-        and oh % h == 0
-        and ow % w == 0
-        and (oh > h or ow > w)
-        and x.dtype in (jnp.bfloat16, jnp.float16, jnp.float32)
-    ):
-        y = _upsample_int_1d(x, oh // h, axis=1)
-        y = _upsample_int_1d(y, ow // w, axis=2)
-        return y if batched else y[0]
     orig_dtype = x.dtype
     wh = jnp.asarray(_linear_weights(h, oh, align_corners))
     ww = jnp.asarray(_linear_weights(w, ow, align_corners))

@@ -116,3 +116,52 @@ def test_deeplab_split_projection_equals_concat_formulation():
     pre = pre / np.sqrt(1.0 + 1e-5) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
     want = np.maximum(pre, 0.0)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_branches_remat_matches_module_remat_gradients():
+    """model.remat='branches' (checkpoint only the branch block chains)
+    must be numerically identical to whole-module remat — remat never
+    changes values, only what is stored vs recomputed."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRNet
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    grads = []
+    for scope in ("module", "branch_blocks"):
+        m = HRNet(
+            width=4, stage_modules=(1, 1, 1), remat_stages=(2, 3, 4),
+            remat_scope=scope, dtype=jnp.float32,
+        )
+        v = m.init({"params": jax.random.key(0)}, x, train=False)
+
+        def loss(p):
+            taps, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(t ** 2) for t in taps.values())
+
+        grads.append(jax.grad(loss)(v["params"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        grads[0], grads[1],
+    )
+
+
+def test_config_accepts_branches_remat():
+    from semi_supervised_semantic_segmentation_tpu.config import (
+        config_from_dict,
+    )
+
+    cfg = config_from_dict(
+        {
+            "name": "t",
+            "data": {"dataset": "synthetic", "num_classes": 4, "crop_size": 64},
+            "model": {"backbone": "hrnet_w48", "decoder": "hrnet_head",
+                      "remat": "branches"},
+            "method": {"name": "supervised"},
+        }
+    )
+    assert cfg.model.remat == "branches"
