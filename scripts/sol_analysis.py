@@ -67,25 +67,32 @@ def main():
     step = jax.jit(method.make_train_step(cfg, model, 1000), donate_argnums=0)
     lab = mk(args.bl, True)
     a = (lab, mk(args.bu, False)) if method.uses_unlabeled else (lab,)
-    compiled = step.lower(state, *a).compile()
-    ca = compiled.cost_analysis()
+    lowered = step.lower(state, *a)
+    # Pre-compile estimate when available (seconds); full HRNet/R101 CPU
+    # compiles take >15 min on this 1-core host.
+    ca = None
+    try:
+        ca = lowered.cost_analysis()
+    except Exception:
+        pass
+    if not ca or not float((ca[0] if isinstance(ca, (list, tuple)) else ca).get("flops", 0.0)):
+        ca = lowered.compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
 
     floor_flops_ms = flops / PEAK * 1e3
-    floor_bw_ms = bytes_accessed / HBM_BW * 1e3
-    floor_ms = max(floor_flops_ms, floor_bw_ms)
+    bw_upper_ms = bytes_accessed / HBM_BW * 1e3
     print(f"config              : {cfg.name}  ({args.bl}+{args.bu} @ {crop}^2)")
     print(f"program FLOPs       : {flops / 1e12:.2f} TF/step (incl. remat recompute)")
-    print(f"bytes accessed      : {bytes_accessed / 1e9:.2f} GB/step (HLO-level, pre-fusion upper bound)")
+    print(f"bytes accessed      : {bytes_accessed / 1e9:.2f} GB/step (HLO-level, PRE-fusion — an upper bound on HBM traffic, not a floor)")
     print(f"MXU floor @100%     : {floor_flops_ms:.1f} ms")
-    print(f"HBM floor @100%     : {floor_bw_ms:.1f} ms (pessimistic: counts un-fused HLO traffic)")
+    print(f"HBM time IF unfused : {bw_upper_ms:.1f} ms (fusion removes most of it; shown for scale)")
     if args.measured_ms:
         eff = floor_flops_ms / args.measured_ms
         print(f"measured            : {args.measured_ms:.1f} ms -> {eff:.1%} of MXU peak")
-        print(f"headroom to SOL     : {args.measured_ms / floor_ms:.2f}x (vs max(MXU, HBM) floor)")
+        print(f"headroom to MXU SOL : {args.measured_ms / floor_flops_ms:.2f}x")
 
 
 if __name__ == "__main__":
