@@ -61,6 +61,11 @@ class DataConfig:
     eval_mode: str = "whole"
     eval_size: int = 0  # 0 = use native (padded) size
     eval_stride: int = 0  # sliding-window stride; 0 = crop_size * 2 // 3
+    # Test-time augmentation (the reference genre's final-number protocol):
+    # average class probabilities over the mirrored view and/or multiple
+    # input scales (sizes snap to the encoder stride).
+    eval_flip: bool = False
+    eval_scales: Tuple[float, ...] = (1.0,)
 
 
 @dataclass(frozen=True)
@@ -287,6 +292,12 @@ _VALID = {
 
 
 def validate(cfg: Config) -> None:
+    if not cfg.data.eval_scales or any(
+        not isinstance(s, (int, float)) or s <= 0 for s in cfg.data.eval_scales
+    ):
+        raise ValueError(
+            f"data.eval_scales must be positive numbers, got {cfg.data.eval_scales!r}"
+        )
     for dotted, allowed in _VALID.items():
         sec, fname = dotted.split(".")
         val = getattr(getattr(cfg, sec), fname)

@@ -34,35 +34,34 @@ def make_eval_step(cfg: Config, model):
     """Whole-image eval (VOC) or sliding-window tiling (Cityscapes high-res,
     cfg.data.eval_mode='sliding'): overlapping crop_size windows, logits
     averaged in overlaps, then argmax -> confusion matrix.  The window grid
-    is static, so the whole tiling unrolls into one XLA program."""
+    is static, so the whole tiling unrolls into one XLA program.
+
+    Test-time augmentation (the reference genre's final-number protocol —
+    HRNet/DeepLab eval scripts average flipped and multi-scale forwards):
+    ``data.eval_flip`` adds a mirrored forward (un-mirrored before
+    averaging), ``data.eval_scales`` forwards at each scale (input resized,
+    class probabilities resized back to native resolution).  Averaging
+    happens in probability space, matching the reference implementations.
+    Everything stays one jitted program — scales are static shapes.
+    """
     num_classes = cfg.data.num_classes
     mean, std = tuple(cfg.data.mean), tuple(cfg.data.std)
     eval_size = cfg.data.eval_size
 
-    def whole(params, batch_stats, batch):
-        x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
+    def whole_logits(params, batch_stats, x):
         h, w = x.shape[1], x.shape[2]
         if eval_size > 0 and (h, w) != (eval_size, eval_size):
             # Forward at eval_size^2 and score logits upsampled back at the
             # label's native resolution (standard resize-eval protocol).
             xr = resize_bilinear(x, (eval_size, eval_size), align_corners=False)
             logits = common.apply_eval(model, params, batch_stats, xr)
-            logits = resize_bilinear(logits, (h, w), align_corners=False)
-        else:
-            logits = common.apply_eval(model, params, batch_stats, x)
-        pred = jnp.argmax(logits, axis=-1)
-        return metrics.confusion_matrix(
-            pred, batch["label"], num_classes, cfg.data.ignore_index
-        )
-
-    if cfg.data.eval_mode != "sliding":
-        return whole
+            return resize_bilinear(logits, (h, w), align_corners=False)
+        return common.apply_eval(model, params, batch_stats, x)
 
     crop = cfg.data.crop_size
     stride = cfg.data.eval_stride or (crop * 2 // 3)
 
-    def sliding(params, batch_stats, batch):
-        x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
+    def sliding_logits(params, batch_stats, x):
         n, h, w, _ = x.shape
         acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
         cnt = jnp.zeros((1, h, w, 1), jnp.float32)
@@ -85,12 +84,47 @@ def make_eval_step(cfg: Config, model):
                     jax.lax.dynamic_slice(cnt, (0, y0, x0, 0), ones.shape) + ones,
                     (0, y0, x0, 0),
                 )
-        pred = jnp.argmax(acc / jnp.maximum(cnt, 1.0), axis=-1)
+        return acc / jnp.maximum(cnt, 1.0)
+
+    logits_fn = sliding_logits if cfg.data.eval_mode == "sliding" else whole_logits
+    scales = tuple(cfg.data.eval_scales)
+    flip = cfg.data.eval_flip
+
+    def single_view(params, batch_stats, x):
+        """Probabilities at x's resolution, with the mirrored view folded in."""
+        p = jax.nn.softmax(logits_fn(params, batch_stats, x).astype(jnp.float32), -1)
+        if flip:
+            pf = jax.nn.softmax(
+                logits_fn(params, batch_stats, x[:, :, ::-1, :]).astype(jnp.float32),
+                -1,
+            )
+            p = p + pf[:, :, ::-1, :]
+        return p
+
+    def eval_step(params, batch_stats, batch):
+        x = augment.canvas_normalize_eval(batch["image"], mean, std, model.dtype)
+        h, w = x.shape[1], x.shape[2]
+        if scales == (1.0,):
+            prob = single_view(params, batch_stats, x)
+        else:
+            prob = jnp.zeros((x.shape[0], h, w, num_classes), jnp.float32)
+            for s in scales:
+                if s == 1.0:
+                    prob = prob + single_view(params, batch_stats, x)
+                    continue
+                # Scaled sizes snap to the encoder stride (32), matching the
+                # reference eval scripts' size rounding.
+                sh = max(int(round(h * s / 32.0)) * 32, 32)
+                sw = max(int(round(w * s / 32.0)) * 32, 32)
+                xs = resize_bilinear(x, (sh, sw), align_corners=False)
+                p = single_view(params, batch_stats, xs.astype(x.dtype))
+                prob = prob + resize_bilinear(p, (h, w), align_corners=False)
+        pred = jnp.argmax(prob, axis=-1)
         return metrics.confusion_matrix(
             pred, batch["label"], num_classes, cfg.data.ignore_index
         )
 
-    return sliding
+    return eval_step
 
 
 def inference_variables(state, method_module):

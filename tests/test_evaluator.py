@@ -103,3 +103,93 @@ def test_blank_pad_rows_are_ignored():
     batch["label"][1] = 255  # a blank eval pad slot
     cm = np.asarray(jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch))
     assert cm.sum() == 32 * 32  # only sample 0 counted
+
+
+def test_tta_defaults_match_plain_eval():
+    """eval_flip=False, eval_scales=(1.0,) must be bit-identical to the
+    pre-TTA evaluator (argmax of softmax == argmax of logits)."""
+    cfg = tiny_cfg("supervised", crop=32)
+    cfg_tta = tiny_cfg(
+        "supervised", crop=32,
+        **{"data.eval_flip": False, "data.eval_scales": [1.0]},
+    )
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(1), 10)
+    batch = synthetic_batch(2, 32, seed=3)
+    cm_a = np.asarray(
+        jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch)
+    )
+    cm_b = np.asarray(
+        jax.jit(make_eval_step(cfg_tta, model))(state.params, state.batch_stats, batch)
+    )
+    np.testing.assert_array_equal(cm_a, cm_b)
+
+
+def test_tta_flip_matches_manual_average():
+    """eval_flip averages probs of the plain and mirrored forwards; verify
+    against a hand-built average through the raw model."""
+    from semi_supervised_semantic_segmentation_tpu.methods import common
+    from semi_supervised_semantic_segmentation_tpu.ops.augment import (
+        canvas_normalize_eval,
+    )
+    from semi_supervised_semantic_segmentation_tpu.ops.metrics import (
+        confusion_matrix,
+    )
+
+    cfg = tiny_cfg("supervised", crop=32, **{"data.eval_flip": True})
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(2), 10)
+    batch = synthetic_batch(2, 32, seed=5)
+    cm = np.asarray(
+        jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch)
+    )
+
+    x = canvas_normalize_eval(
+        batch["image"], tuple(cfg.data.mean), tuple(cfg.data.std), model.dtype
+    )
+    p = jax.nn.softmax(
+        common.apply_eval(model, state.params, state.batch_stats, x).astype(
+            jnp.float32
+        ),
+        -1,
+    )
+    pf = jax.nn.softmax(
+        common.apply_eval(
+            model, state.params, state.batch_stats, x[:, :, ::-1, :]
+        ).astype(jnp.float32),
+        -1,
+    )
+    pred = jnp.argmax(p + pf[:, :, ::-1, :], axis=-1)
+    want = np.asarray(
+        confusion_matrix(
+            pred, batch["label"], cfg.data.num_classes, cfg.data.ignore_index
+        )
+    )
+    np.testing.assert_array_equal(cm, want)
+
+
+def test_tta_multiscale_runs_and_counts_all_pixels():
+    """Multi-scale TTA compiles as one program and scores every labeled
+    pixel exactly once."""
+    cfg = tiny_cfg(
+        "supervised", crop=32,
+        **{"data.eval_scales": [0.75, 1.0, 1.5], "data.eval_flip": True},
+    )
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(3), 10)
+    batch = synthetic_batch(2, 32, seed=7)
+    cm = np.asarray(
+        jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch)
+    )
+    labeled = np.asarray(batch["label"]) != cfg.data.ignore_index
+    assert cm.sum() == labeled.sum()
+
+
+def test_eval_scales_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="eval_scales"):
+        tiny_cfg("supervised", crop=32, **{"data.eval_scales": [0.0, 1.0]})
