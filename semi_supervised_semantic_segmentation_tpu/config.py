@@ -80,6 +80,8 @@ class ModelConfig:
     # HR module — trades ~1/3 more FLOPs for O(depth) less activation HBM;
     # required for HRNet-W48 @ 1024^2).
     remat: str = "none"
+    # ResNet stem: 'conv' | 's2d' (space-to-depth stem, exact-equivalent)
+    stem_impl: str = "conv"
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
@@ -287,6 +289,7 @@ _VALID = {
     "data.eval_mode": {"whole", "sliding"},
     "model.backbone": {"resnet18", "resnet50", "resnet101", "hrnet_w48"},
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
+    "model.stem_impl": {"conv", "s2d"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
 }
 

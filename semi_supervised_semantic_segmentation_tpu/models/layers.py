@@ -113,23 +113,34 @@ class ConvNormAct(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    # Compute a stride-2 small-Cin conv via space-to-depth (see S2DStemConv)
+    # — exact same math and param layout, 4x denser MXU input feed.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = (
-            (self.kernel[0] - 1) * self.dilation[0] // 2,
-            (self.kernel[1] - 1) * self.dilation[1] // 2,
-        )
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=((pad[0], pad[0]), (pad[1], pad[1])),
-            kernel_dilation=self.dilation,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.s2d:
+            assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
+            # name pinned to 'Conv_0' so the param path matches the nn.Conv
+            # it replaces (checkpoints, torch imports).
+            x = S2DStemConv(
+                self.features, self.kernel, dtype=self.dtype, name="Conv_0"
+            )(x)
+        else:
+            pad = (
+                (self.kernel[0] - 1) * self.dilation[0] // 2,
+                (self.kernel[1] - 1) * self.dilation[1] // 2,
+            )
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=((pad[0], pad[0]), (pad[1], pad[1])),
+                kernel_dilation=self.dilation,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         x = Norm(self.norm, self.bn_momentum, self.dtype)(x, train)
         if self.act:
             x = nn.relu(x)
@@ -144,3 +155,72 @@ def max_pool_same_as_torch(x, window: int = 3, stride: int = 2, pad: int = 1):
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
     )
+
+
+class S2DStemConv(nn.Module):
+    """Stride-2 conv on a 2x2 space-to-depth input (MLPerf-style stem).
+
+    A kxk stride-2 conv with Cin=3 feeds the MXU at 3/128 of its input
+    lanes (config-3 profile: conv1 forward ran at ~6% MFU and the stem
+    accounted for ~6% of the whole step).  Rearranging the input as
+    [N, H/2, W/2, 4*Cin] and scattering the kernel's taps into a
+    ceil((k+1)/2)-tap kernel over the phase-expanded channels computes the
+    SAME convolution (exactly: every (a,b) tap of the original kernel maps
+    to one (da, p) phase tap) with 4x denser input channels.  The param
+    keeps the original nn.Conv layout (k, k, Cin, features) so checkpoints
+    and torch-weight imports are unchanged.
+
+    Requires stride 2, odd k, torch-style (k-1)/2 padding, even H and W.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (7, 7)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        n, h, wd, _ = x.shape
+        x2 = (
+            x.reshape(n, h // 2, 2, wd // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, wd // 2, 4 * cin)
+        )
+
+        def axis_taps(k):
+            ph = (k - 1) // 2
+            taps = []
+            for a in range(k):
+                p = (a - ph) % 2
+                da = (a - ph - p) // 2
+                taps.append((da, p))
+            dmin = min(t[0] for t in taps)
+            dmax = max(t[0] for t in taps)
+            return taps, dmin, dmax
+
+        taps_h, hmin, hmax = axis_taps(kh)
+        taps_w, wmin, wmax = axis_taps(kw)
+        w2 = jnp.zeros(
+            (hmax - hmin + 1, wmax - wmin + 1, 2, 2, cin, self.features),
+            jnp.float32,
+        )
+        for a, (da, p) in enumerate(taps_h):
+            for b, (db, q) in enumerate(taps_w):
+                w2 = w2.at[da - hmin, db - wmin, p, q].set(w[a, b])
+        w2 = w2.reshape(
+            hmax - hmin + 1, wmax - wmin + 1, 4 * cin, self.features
+        ).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            w2,
+            (1, 1),
+            ((-hmin, hmax), (-wmin, wmax)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )

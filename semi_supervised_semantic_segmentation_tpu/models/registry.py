@@ -49,6 +49,9 @@ class SegModel(nn.Module):
     # "stages:3,4" (HRNet only) = checkpoint just those stages — selective
     # plans fit 1024² in HBM while recomputing less than the full plan.
     remat: str = ""
+    # ResNet stem formulation: 'conv' (plain) or 's2d' (space-to-depth,
+    # exact same math/params — see models/layers.py::S2DStemConv).
+    stem_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,6 +64,7 @@ class SegModel(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 remat=(self.remat not in ("", "none")),
+                stem_impl=self.stem_impl,
                 name="encoder",
             )(x, train)
         elif self.backbone == "hrnet_w48":
@@ -130,4 +134,5 @@ def build_model(cfg: Config) -> SegModel:
         aspp_dilations=cfg.model.aspp_dilations,
         decoder_channels=cfg.model.decoder_channels,
         remat=cfg.model.remat if cfg.model.remat != "none" else "",
+        stem_impl=cfg.model.stem_impl,
     )

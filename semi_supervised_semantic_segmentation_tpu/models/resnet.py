@@ -144,6 +144,9 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
     remat: bool = False  # checkpoint each residual block (memory vs FLOPs)
+    # 'conv' = plain stride-2 7x7; 's2d' = same conv via 2x2 space-to-depth
+    # (exact, same params; 4x denser MXU feed for the Cin=3 stem).
+    stem_impl: str = "conv"
 
     @property
     def feature_channels(self) -> Tuple[int, int, int, int, int]:
@@ -175,6 +178,7 @@ class ResNet(nn.Module):
             norm=self.norm,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
+            s2d=(self.stem_impl == "s2d"),
             name="stem",
         )(x, train)
         c1 = x  # stride 2

@@ -165,3 +165,62 @@ def test_config_accepts_branches_remat():
         }
     )
     assert cfg.model.remat == "branches"
+
+
+def test_s2d_stem_exactly_matches_plain_conv():
+    """stem_impl='s2d' (space-to-depth stem) must match the plain stride-2
+    conv stem — same params, same forward, same gradients (it is the same
+    convolution with taps regrouped by phase)."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.layers import (
+        ConvNormAct,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    for k in ((7, 7), (3, 3)):
+        plain = ConvNormAct(8, k, strides=(2, 2), dtype=jnp.float32)
+        s2d = ConvNormAct(8, k, strides=(2, 2), dtype=jnp.float32, s2d=True)
+        v = plain.init(jax.random.key(0), x, False)
+        # Same param tree shape -> reuse the plain init for the s2d module.
+        out_a, out_b = (
+            m.apply(v, x, True, mutable=["batch_stats"])[0] for m in (plain, s2d)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-5
+        )
+
+        def loss(params, m):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+
+        g_a = jax.grad(loss)(v["params"], plain)
+        g_b = jax.grad(loss)(v["params"], s2d)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            g_a, g_b,
+        )
+
+
+def test_resnet_s2d_stem_end_to_end():
+    """A full ResNet forward with stem_impl='s2d' equals the plain stem."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    a = ResNet(arch="resnet18", dtype=jnp.float32)
+    b = ResNet(arch="resnet18", dtype=jnp.float32, stem_impl="s2d")
+    v = a.init({"params": jax.random.key(0)}, x, train=False)
+    ta = a.apply(v, x, train=False)
+    tb = b.apply(v, x, train=False)
+    for key in ta:
+        np.testing.assert_allclose(
+            np.asarray(ta[key]), np.asarray(tb[key]), rtol=1e-5, atol=1e-5
+        )
