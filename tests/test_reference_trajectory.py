@@ -230,3 +230,104 @@ def test_fixmatch_trajectory_matches_torch_reference():
     )
     _tensors_close(flat_ema, trainer.teacher.state_dict(), 0.05,
                    skip_running_stats=True)
+
+
+def test_mean_teacher_trajectory_matches_torch_reference():
+    from semi_supervised_semantic_segmentation_tpu.methods import mean_teacher
+
+    cfg, model, state, step_fn, tmodel = _setup(mean_teacher, "mean_teacher")
+    trainer = tref.MeanTeacherReferenceTrainer(tmodel, cfg, TOTAL_STEPS)
+    lab = _make_batches(TOTAL_STEPS, NL, seed=3)
+    unlab = _make_batches(TOTAL_STEPS, NU, seed=4, labeled=False)
+
+    cols = {"loss": ([], []), "sup_loss": ([], []), "unsup_loss": ([], [])}
+    for step, (bl, bu) in enumerate(zip(lab, unlab)):
+        state, metrics = step_fn(
+            state,
+            {k: jnp.asarray(v) for k, v in bl.items()},
+            {k: jnp.asarray(v) for k, v in bu.items()},
+        )
+        xu01 = _to_torch01(bu)
+        tm = trainer.train_step_mt(
+            _to_torch01(bl),
+            torch.from_numpy(bl["label"]),
+            xu01,
+            xu01,  # strong aug disabled -> strong view == weak view
+            torch.ones(NU, CROP, CROP, dtype=torch.bool),
+        )
+        for name, (ja, to) in cols.items():
+            ja.append(float(metrics[name]))
+            to.append(tm[name])
+        if step == 2:
+            _state_tensors_close(state, tmodel, bound=5e-3)
+            flat_ema = compat.flatten_params_to_torch_layout(
+                jax.device_get(state.ema_params),
+                jax.device_get(state.ema_batch_stats),
+            )
+            _tensors_close(flat_ema, trainer.teacher.state_dict(), 5e-3)
+
+    for name, (ja, to) in cols.items():
+        np.testing.assert_allclose(ja, to, rtol=2e-3, atol=2e-3, err_msg=name)
+    _state_tensors_close(state, tmodel, bound=0.05, skip_running_stats=True)
+
+
+def test_cps_trajectory_matches_torch_reference():
+    from semi_supervised_semantic_segmentation_tpu.methods import cps
+
+    # CPS at the suite's lr=0.05 (0.5 on the head) produces losses of 15-60
+    # (four CE terms, cps_weight 1.5) — fp32 chaos then amplifies to ~4%
+    # tensor drift within 3 steps while the per-step LOSSES still track to
+    # ~0.7% (measured: both trajectories follow the recipe, the bound is
+    # just chaos-dominated).  lr=0.01 keeps the dynamics in the regime
+    # where the standard bounds (5e-3 tensors @ step 3, 2e-3 losses over 30
+    # steps) prove the recipe: measured drifts 2.9e-3 / 1.3e-3.
+    ov = dict(_IDENTITY_AUG)
+    ov["optim.lr"] = 0.01
+    cfg = tiny_cfg("cps", crop=CROP, **ov)
+    model = build_model(cfg)
+    state = cps.init_state(cfg, model, jax.random.key(0), TOTAL_STEPS)
+    step_fn = jax.jit(cps.make_train_step(cfg, model, TOTAL_STEPS))
+
+    tms = []
+    for net in ("net1", "net2"):
+        flat = compat.flatten_params_to_torch_layout(
+            jax.device_get(state.params[net]),
+            jax.device_get(state.batch_stats[net]),
+        )
+        tm = tref.SegModelTorch(NCLS)
+        tref.load_flat_into_torch(tm, flat)
+        tms.append(tm)
+    trainer = tref.CPSReferenceTrainer(tms[0], tms[1], cfg, TOTAL_STEPS)
+
+    lab = _make_batches(TOTAL_STEPS, NL, seed=5)
+    unlab = _make_batches(TOTAL_STEPS, NU, seed=6, labeled=False)
+    ones = torch.ones(NL, CROP, CROP, dtype=torch.bool)
+    cols = {"loss": ([], []), "sup_loss": ([], []), "cps_loss": ([], [])}
+    for step, (bl, bu) in enumerate(zip(lab, unlab)):
+        state, metrics = step_fn(
+            state,
+            {k: jnp.asarray(v) for k, v in bl.items()},
+            {k: jnp.asarray(v) for k, v in bu.items()},
+        )
+        tm = trainer.train_step_cps(
+            _to_torch01(bl), torch.from_numpy(bl["label"]), _to_torch01(bu),
+            ones, ones,
+        )
+        for name, (ja, to) in cols.items():
+            ja.append(float(metrics[name]))
+            to.append(tm[name])
+        if step == 2:
+            for net, torch_model in (("net1", trainer.m1), ("net2", trainer.m2)):
+                flat = compat.flatten_params_to_torch_layout(
+                    jax.device_get(state.params[net]),
+                    jax.device_get(state.batch_stats[net]),
+                )
+                _tensors_close(flat, torch_model.state_dict(), 5e-3)
+
+    for name, (ja, to) in cols.items():
+        # cps_loss is built from hard argmax pseudo-labels: a single fp-noise
+        # label flip quantizes it (measured: 1 of 30 steps off by 0.4% while
+        # everything else tracks to <=0.2%).  1% still catches any recipe
+        # drift (wrong cps_weight / denominator moves it by >>10%).
+        tol = 1e-2 if name == "cps_loss" else 2e-3
+        np.testing.assert_allclose(ja, to, rtol=tol, atol=tol, err_msg=name)

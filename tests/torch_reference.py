@@ -329,3 +329,116 @@ def eval_miou(model, images01, labels, num_classes, mean, std, ignore=255):
     union = cm.sum(0) + cm.sum(1) - inter
     iou = inter / union.clamp(min=1.0)
     return iou.numpy(), float(iou[union > 0].mean())
+
+
+class MeanTeacherReferenceTrainer(SupervisedReferenceTrainer):
+    """The reference's Mean-Teacher loop: EMA teacher on the weak view,
+    student on the strong view, softmax-MSE consistency (torch F.mse_loss
+    'mean' semantics over valid pixels) with ramp-up, SGD, EMA update."""
+
+    def __init__(self, model, cfg, total_steps):
+        super().__init__(model, cfg, total_steps)
+        self.teacher = copy.deepcopy(model)
+        for p in self.teacher.parameters():
+            p.requires_grad_(False)
+
+    def train_step_mt(self, xl01, y, xu_weak01, xu_strong01, uvalid):
+        cfg, o, m = self.cfg, self.cfg.optim, self.cfg.method
+        set_poly_lr(self.opt, o.lr, self.step, self.total_steps, o.poly_power)
+
+        self.teacher.eval()
+        with torch.no_grad():
+            tlogits = self.teacher(self.normalize(xu_weak01))
+
+        lam = consistency_weight(
+            self.step, m.consistency_weight, m.rampup_iters, m.rampup_kind
+        )
+        nl = xl01.shape[0]
+        self.model.train()
+        x = torch.cat([self.normalize(xl01), self.normalize(xu_strong01)], dim=0)
+        logits = self.model(x)
+        sup = F.cross_entropy(
+            logits[:nl], y.long(), ignore_index=cfg.data.ignore_index
+        )
+        ps = F.softmax(logits[nl:].float(), dim=1)
+        pt = F.softmax(tlogits.float(), dim=1)
+        sq = (ps - pt) ** 2
+        mask = uvalid.float().unsqueeze(1)
+        denom = (mask.sum() * sq.shape[1]).clamp(min=1.0)
+        unsup = (sq * mask).sum() / denom
+        loss = sup + lam * unsup
+
+        self.opt.zero_grad()
+        loss.backward()
+        self.opt.step()
+        ema_update(self.teacher, self.model, m.ema_alpha)
+        self.step += 1
+        return {
+            "loss": float(loss.detach()),
+            "sup_loss": float(sup.detach()),
+            "unsup_loss": float(unsup.detach()),
+        }
+
+
+class CPSReferenceTrainer:
+    """The reference's cross-pseudo-supervision loop: two independently
+    initialized nets, each CE-supervised on labels and by the other's hard
+    argmax pseudo-labels (detached) on labeled AND unlabeled views; one SGD
+    config applied to both nets (identical math to the single optimizer
+    over the concatenated pytree used on the jax side)."""
+
+    def __init__(self, model1, model2, cfg, total_steps):
+        self.m1, self.m2 = model1, model2
+        self.cfg = cfg
+        self.total_steps = total_steps
+        o = cfg.optim
+        self.opt1 = make_sgd(model1, o.lr, o.momentum, o.weight_decay, o.head_lr_mult)
+        self.opt2 = make_sgd(model2, o.lr, o.momentum, o.weight_decay, o.head_lr_mult)
+        self.step = 0
+
+    def normalize(self, x01):
+        mean = torch.tensor(self.cfg.data.mean).view(1, 3, 1, 1)
+        std = torch.tensor(self.cfg.data.std).view(1, 3, 1, 1)
+        return (x01 - mean) / std
+
+    @staticmethod
+    def _cps(p1, p2, valid, ignore):
+        y1 = p1.argmax(dim=1).detach()
+        y2 = p2.argmax(dim=1).detach()
+        y1 = torch.where(valid, y1, torch.full_like(y1, ignore))
+        y2 = torch.where(valid, y2, torch.full_like(y2, ignore))
+        return F.cross_entropy(p1, y2, ignore_index=ignore) + F.cross_entropy(
+            p2, y1, ignore_index=ignore
+        )
+
+    def train_step_cps(self, xl01, y, xu01, lvalid, uvalid):
+        cfg, o, m = self.cfg, self.cfg.optim, self.cfg.method
+        ignore = cfg.data.ignore_index
+        set_poly_lr(self.opt1, o.lr, self.step, self.total_steps, o.poly_power)
+        set_poly_lr(self.opt2, o.lr, self.step, self.total_steps, o.poly_power)
+
+        nl = xl01.shape[0]
+        self.m1.train()
+        self.m2.train()
+        x = torch.cat([self.normalize(xl01), self.normalize(xu01)], dim=0)
+        p1 = self.m1(x)
+        p2 = self.m2(x)
+        sup = F.cross_entropy(p1[:nl], y.long(), ignore_index=ignore) + F.cross_entropy(
+            p2[:nl], y.long(), ignore_index=ignore
+        )
+        cps = self._cps(p1[:nl], p2[:nl], lvalid, ignore) + self._cps(
+            p1[nl:], p2[nl:], uvalid, ignore
+        )
+        loss = sup + m.cps_weight * cps
+
+        self.opt1.zero_grad()
+        self.opt2.zero_grad()
+        loss.backward()
+        self.opt1.step()
+        self.opt2.step()
+        self.step += 1
+        return {
+            "loss": float(loss.detach()),
+            "sup_loss": float(sup.detach()),
+            "cps_loss": float(cps.detach()),
+        }
