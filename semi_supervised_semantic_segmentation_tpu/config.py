@@ -82,6 +82,8 @@ class ModelConfig:
     remat: str = "none"
     # ResNet stem: 'conv' | 's2d' (space-to-depth stem, exact-equivalent)
     stem_impl: str = "conv"
+    # HRNet stride-2 fuse-down/transition convs: 'conv' | 's2d'
+    fuse_impl: str = "conv"
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
@@ -290,6 +292,7 @@ _VALID = {
     "model.backbone": {"resnet18", "resnet50", "resnet101", "hrnet_w48"},
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
     "model.stem_impl": {"conv", "s2d"},
+    "model.fuse_impl": {"conv", "s2d"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
 }
 

@@ -44,6 +44,12 @@ class HRModule(nn.Module):
     # + upsamples, the layout-copy-heavy part of the profile) keep their
     # activations stored.
     remat_blocks: bool = False
+    # True = compute the stride-2 fuse-down convs via explicit 2x2
+    # space-to-depth (models/layers.py::S2DStemConv): the profile's top
+    # copy lines are XLA's internal space-to-depth relayouts around these
+    # small-channel stride-2 convs; the explicit form is one reshape and a
+    # lane-filling 4*Cin-channel conv.  Exact same math and param layout.
+    fuse_s2d: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False):
@@ -92,7 +98,8 @@ class HRModule(nn.Module):
                             self.channels[i] if last else self.channels[j],
                             (3, 3), strides=(2, 2), act=not last,
                             norm=self.norm, bn_momentum=self.bn_momentum,
-                            dtype=self.dtype, name=f"fuse_down_{j}_to_{i}_{k}",
+                            dtype=self.dtype, s2d=self.fuse_s2d,
+                            name=f"fuse_down_{j}_to_{i}_{k}",
                         )(t, train)
                 acc = acc + t
             outs.append(nn.relu(acc))
@@ -168,6 +175,9 @@ class HRNet(nn.Module):
     # fuse resizes included); 'branch_blocks' = checkpoint only the branch
     # BasicBlocks, keep fuse-layer activations stored ('branches' plan).
     remat_scope: str = "module"
+    # 'conv' | 's2d': formulation of the stride-2 fuse-down/transition convs
+    # (see HRModule.fuse_s2d).
+    fuse_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -175,14 +185,19 @@ class HRNet(nn.Module):
         widths = (w, 2 * w, 4 * w, 8 * w)
         kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
         branch_scope = self.remat_scope == "branch_blocks"
+        fuse_s2d = self.fuse_impl == "s2d"
 
         # nn.remat over list-of-arrays args: train (argnum 2) stays static.
         def module_for(stage: int):
             if stage not in self.remat_stages:
-                return HRModule
+                return functools.partial(HRModule, fuse_s2d=fuse_s2d)
             if branch_scope:
-                return functools.partial(HRModule, remat_blocks=True)
-            return nn.remat(HRModule, static_argnums=(2,))
+                return functools.partial(
+                    HRModule, remat_blocks=True, fuse_s2d=fuse_s2d
+                )
+            return functools.partial(
+                nn.remat(HRModule, static_argnums=(2,)), fuse_s2d=fuse_s2d
+            )
 
         x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
         c1 = x  # stride 2
@@ -201,7 +216,8 @@ class HRNet(nn.Module):
         # transition1: 256 -> [48, 96(s8)]
         b0 = ConvNormAct(widths[0], (3, 3), name="transition1_0", **kw)(x, train)
         b1 = ConvNormAct(
-            widths[1], (3, 3), strides=(2, 2), name="transition1_1", **kw
+            widths[1], (3, 3), strides=(2, 2), s2d=fuse_s2d,
+            name="transition1_1", **kw
         )(x, train)
         xs = [b0, b1]
 
@@ -210,7 +226,8 @@ class HRNet(nn.Module):
 
         xs.append(
             ConvNormAct(
-                widths[2], (3, 3), strides=(2, 2), name="transition2_2", **kw
+                widths[2], (3, 3), strides=(2, 2), s2d=fuse_s2d,
+                name="transition2_2", **kw
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[1]):
@@ -218,7 +235,8 @@ class HRNet(nn.Module):
 
         xs.append(
             ConvNormAct(
-                widths[3], (3, 3), strides=(2, 2), name="transition3_3", **kw
+                widths[3], (3, 3), strides=(2, 2), s2d=fuse_s2d,
+                name="transition3_3", **kw
             )(xs[-1], train)
         )
         for m in range(self.stage_modules[2]):

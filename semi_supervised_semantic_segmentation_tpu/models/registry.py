@@ -52,6 +52,8 @@ class SegModel(nn.Module):
     # ResNet stem formulation: 'conv' (plain) or 's2d' (space-to-depth,
     # exact same math/params — see models/layers.py::S2DStemConv).
     stem_impl: str = "conv"
+    # HRNet stride-2 fuse-down/transition conv formulation: 'conv' | 's2d'.
+    fuse_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,6 +79,7 @@ class SegModel(nn.Module):
                 dtype=self.dtype,
                 remat_stages=_remat_stages(self.remat),
                 remat_scope="branch_blocks" if self.remat == "branches" else "module",
+                fuse_impl=self.fuse_impl,
                 name="encoder",
             )(x, train)
         else:
@@ -135,4 +138,5 @@ def build_model(cfg: Config) -> SegModel:
         decoder_channels=cfg.model.decoder_channels,
         remat=cfg.model.remat if cfg.model.remat != "none" else "",
         stem_impl=cfg.model.stem_impl,
+        fuse_impl=cfg.model.fuse_impl,
     )

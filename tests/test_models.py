@@ -224,3 +224,45 @@ def test_resnet_s2d_stem_end_to_end():
         np.testing.assert_allclose(
             np.asarray(ta[key]), np.asarray(tb[key]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_s2d_conv_matches_for_wide_channels():
+    """The s2d formulation is Cin-agnostic; verify at HRNet-branch widths
+    (48 in) where it targets the profile's stride-2 relayout copies."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.layers import (
+        ConvNormAct,
+    )
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 12, 48).astype(np.float32))
+    plain = ConvNormAct(96, (3, 3), strides=(2, 2), dtype=jnp.float32)
+    s2d = ConvNormAct(96, (3, 3), strides=(2, 2), dtype=jnp.float32, s2d=True)
+    v = plain.init(jax.random.key(0), x, False)
+    out_a = plain.apply(v, x, True, mutable=["batch_stats"])[0]
+    out_b = s2d.apply(v, x, True, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_hrnet_fuse_s2d_matches_plain():
+    """fuse_impl='s2d' (space-to-depth fuse-down/transition convs) must be
+    numerically identical to the plain formulation on the same params."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRNet
+
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    a = HRNet(width=8, stage_modules=(1, 1, 1), dtype=jnp.float32)
+    b = HRNet(
+        width=8, stage_modules=(1, 1, 1), dtype=jnp.float32, fuse_impl="s2d"
+    )
+    v = a.init({"params": jax.random.key(0)}, x, train=False)
+    ta = a.apply(v, x, train=False)
+    tb = b.apply(v, x, train=False)
+    for key in ta:
+        np.testing.assert_allclose(
+            np.asarray(ta[key]), np.asarray(tb[key]), rtol=1e-4, atol=1e-4
+        )
