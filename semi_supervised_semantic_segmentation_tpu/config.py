@@ -99,6 +99,11 @@ class MethodConfig:
     rampup_kind: str = "sigmoid"  # sigmoid | linear
     cps_weight: float = 1.5
     cutmix_prob: float = 1.0
+    # Supervised CE variant: 'ce' | 'ohem' (online hard example mining, the
+    # Cityscapes recipe of the CPS/HRNet lineage).
+    sup_loss: str = "ce"
+    ohem_thresh: float = 0.7
+    ohem_min_kept: int = 100000
     # MSE consistency normalization: "mean" over all elements (torch
     # F.mse_loss default) or "classes" (sum over classes / pixels).
     consistency_reduction: str = "mean"
@@ -294,6 +299,7 @@ _VALID = {
     "model.stem_impl": {"conv", "s2d"},
     "model.fuse_impl": {"conv", "s2d"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
+    "method.sup_loss": {"ce", "ohem"},
 }
 
 

@@ -78,6 +78,23 @@ def normalize(cfg: Config, images01: jnp.ndarray, dtype) -> jnp.ndarray:
     return augment.normalize_images(images01, tuple(cfg.data.mean), tuple(cfg.data.std), dtype)
 
 
+def sup_loss_fn(cfg: Config):
+    """Supervised pixel-loss selected by method.sup_loss: plain CE-255 or
+    OHEM (hard-pixel mining, the Cityscapes CPS/HRNet recipe)."""
+    from semi_supervised_semantic_segmentation_tpu.ops import losses
+
+    m, ignore = cfg.method, cfg.data.ignore_index
+    if m.sup_loss == "ohem":
+        def fn(logits, labels):
+            return losses.ohem_cross_entropy(
+                logits, labels, ignore, m.ohem_thresh, m.ohem_min_kept
+            )
+        return fn
+    def fn(logits, labels):
+        return losses.cross_entropy(logits, labels, ignore)
+    return fn
+
+
 def model_dtype(model) -> Any:
     return model.dtype
 

@@ -44,6 +44,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
     tx = make_optimizer(cfg, total_steps)
     m = cfg.method
     ignore = cfg.data.ignore_index
+    sup_fn = common.sup_loss_fn(cfg)
 
     def train_step(state: TrainState, labeled, unlabeled):
         key = common.step_key(state)
@@ -62,9 +63,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
             logits2, bs2 = common.apply_train(
                 model, params["net2"], state.batch_stats["net2"], x, kd2
             )
-            sup = losses.cross_entropy(logits1[:nl], y, ignore) + losses.cross_entropy(
-                logits2[:nl], y, ignore
-            )
+            sup = sup_fn(logits1[:nl], y) + sup_fn(logits2[:nl], y)
             # Geometric validity masks keep mean-fill padding (fake content
             # outside the scaled image) out of the pseudo-supervision.
             cps = losses.cps_loss(

@@ -41,6 +41,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
     tx = make_optimizer(cfg, total_steps)
     m = cfg.method
     ignore = cfg.data.ignore_index
+    sup_fn = common.sup_loss_fn(cfg)
 
     def train_step(state: TrainState, labeled, unlabeled):
         key = common.step_key(state)
@@ -100,7 +101,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
             logits, new_stats = common.apply_train(
                 model, params, state.batch_stats, x, kdrop
             )
-            sup = losses.cross_entropy(logits[:nl], y, ignore)
+            sup = sup_fn(logits[:nl], y)
             unsup = losses.confidence_masked_ce(
                 logits[nl:], pseudo, conf, ignore, normalize="all"
             )

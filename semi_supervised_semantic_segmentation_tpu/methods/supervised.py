@@ -29,6 +29,8 @@ def make_train_step(cfg: Config, model, total_steps: int):
     tx = make_optimizer(cfg, total_steps)
     ignore = cfg.data.ignore_index
 
+    sup_fn = common.sup_loss_fn(cfg)
+
     def train_step(state: TrainState, labeled, unlabeled=None):
         key = common.step_key(state)
         kaug, kdrop = jax.random.split(key)
@@ -39,7 +41,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
             logits, new_stats = common.apply_train(
                 model, params, state.batch_stats, x, kdrop
             )
-            loss = losses.cross_entropy(logits, y, ignore)
+            loss = sup_fn(logits, y)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -160,3 +160,40 @@ def pseudo_labels_from_logits(
     conf = jnp.max(probs, axis=-1)
     labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     return labels, conf > conf_thresh
+
+
+def ohem_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 100000,
+) -> jnp.ndarray:
+    """Online hard example mining CE (the Cityscapes recipe of the CPS/HRNet
+    reference lineage): keep pixels whose true-class probability is below
+    ``max(thresh, p_k)`` where ``p_k`` is the ``min(min_kept, n_valid-1)``-th
+    smallest true-class probability — i.e. always mine at least ~min_kept of
+    the hardest pixels — and average CE over the kept set.
+
+    Exactly mirrors the official OhemCrossEntropy (sort ascending by
+    true-class prob; index min(min_kept, numel-1); strict ``p < threshold``
+    filter), expressed with one device-wide sort instead of boolean
+    indexing so it stays a static-shape XLA program.
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    labels_safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = _pick_label_logp(logp, labels_safe)
+    pix_loss = jnp.where(valid, -ll, 0.0)
+    p_true = jnp.exp(ll)
+
+    flat_p = jnp.where(valid, p_true, jnp.inf).reshape(-1)
+    sorted_p = jnp.sort(flat_p)  # invalid (+inf) sort to the end
+    n_valid = jnp.sum(valid)
+    idx = jnp.clip(jnp.minimum(min_kept, n_valid - 1), 0, flat_p.shape[0] - 1)
+    p_k = jnp.take(sorted_p, idx)
+    threshold = jnp.maximum(p_k, thresh)
+    kept = valid & (p_true < threshold)
+    denom = jnp.maximum(jnp.sum(kept), 1)
+    return jnp.sum(pix_loss * kept) / denom

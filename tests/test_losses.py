@@ -1,6 +1,7 @@
 """SSL math unit tests vs NumPy/torch oracles (SURVEY.md §4.2 'Unit: SSL math')."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -118,3 +119,38 @@ def test_cps_loss_valid_mask_excludes_padding():
     ours = losses.cps_loss(l1, l2, valid_mask=jnp.asarray(mask))
     oracle = losses.cps_loss(l1[:, :, :2], l2[:, :, :2])
     np.testing.assert_allclose(float(ours), float(oracle), rtol=1e-6)
+
+
+@pytest.mark.parametrize("thresh,min_kept", [(0.7, 50), (0.9, 5), (0.3, 10_000)])
+def test_ohem_cross_entropy_matches_official_torch(thresh, min_kept):
+    """ohem_cross_entropy vs the official OhemCrossEntropy logic (sort by
+    true-class prob, index min(min_kept, numel-1), strict p < threshold)."""
+    rng = np.random.RandomState(int(thresh * 10) + min_kept)
+    n, h, w, c = 2, 13, 11, 5
+    logits = rng.randn(n, h, w, c).astype(np.float32) * 3
+    labels = rng.randint(0, c, (n, h, w)).astype(np.int32)
+    labels[rng.rand(n, h, w) < 0.15] = 255
+
+    got = float(
+        losses.ohem_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), 255, thresh, min_kept
+        )
+    )
+
+    lt = torch.from_numpy(logits).permute(0, 3, 1, 2)
+    yt = torch.from_numpy(labels).long()
+    pixel_losses = F.cross_entropy(
+        lt, yt, ignore_index=255, reduction="none"
+    ).reshape(-1)
+    mask = (yt != 255).reshape(-1)
+    pixel_losses = pixel_losses[mask]
+    prob = F.softmax(lt, dim=1)
+    yt_safe = yt.clone()
+    yt_safe[yt == 255] = 0
+    p_true = prob.gather(1, yt_safe.unsqueeze(1)).squeeze(1).reshape(-1)[mask]
+    pred, ind = p_true.sort()
+    min_value = pred[min(min_kept, pred.numel() - 1)]
+    threshold = max(float(min_value), thresh)
+    kept = pixel_losses[ind][pred < threshold]
+    want = float(kept.mean()) if kept.numel() else 0.0
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
