@@ -154,3 +154,26 @@ def test_ohem_cross_entropy_matches_official_torch(thresh, min_kept):
     kept = pixel_losses[ind][pred < threshold]
     want = float(kept.mean()) if kept.numel() else 0.0
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ohem_mines_hard_pixels_loss_at_least_plain_ce():
+    """OHEM keeps the hardest (highest-CE) pixels, so its mean is >= the
+    all-pixel CE mean; and with min_kept >= n_valid and thresh=1.0 it keeps
+    everything and equals plain CE exactly."""
+    rng = np.random.RandomState(7)
+    logits = rng.randn(2, 16, 16, 6).astype(np.float32) * 2
+    labels = rng.randint(0, 6, (2, 16, 16)).astype(np.int32)
+    labels[rng.rand(2, 16, 16) < 0.2] = 255
+
+    plain = float(losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 255))
+    mined = float(
+        losses.ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 255, 0.7, 64)
+    )
+    assert mined >= plain - 1e-6
+
+    all_kept = float(
+        losses.ohem_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), 255, 1.0, 10**6
+        )
+    )
+    np.testing.assert_allclose(all_kept, plain, rtol=1e-6, atol=1e-7)
