@@ -322,18 +322,35 @@ def validate(cfg: Config) -> None:
     if cfg.data.crop_size % 32 != 0:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
     r = cfg.model.remat
-    if not (
-        r in ("none", "", "blocks", "branches")
-        or (
-            r.startswith("stages:")
-            and all(s in "1234" for s in r[len("stages:"):].split(","))
-        )
-    ):
+    if r.startswith("stages:"):
+        tokens = r[len("stages:"):].split(",")
+        stages_ok = bool(tokens) and all(s in {"1", "2", "3", "4"} for s in tokens)
+    else:
+        stages_ok = False
+    if not (r in ("none", "", "blocks", "branches") or stages_ok):
         raise ValueError(
             f"model.remat={r!r}: expected 'none', 'blocks', 'branches', or "
-            "'stages:i,j' with stages from 1-4 (HRNet: 1 = layer1; "
-            "'branches' checkpoints only the residual-block chains, leaving "
-            "fuse layers stored)"
+            "'stages:i,j' with single-digit stages from 1-4 (HRNet: 1 = "
+            "layer1; 'branches' checkpoints only the residual-block chains, "
+            "leaving fuse layers stored)"
+        )
+    # 'branches' / 'stages:' are HRNet-specific plans; ResNet backbones only
+    # distinguish remat on/off, so accepting these would silently run full
+    # block remat instead of what the user asked for.
+    if r in ("branches",) or r.startswith("stages:"):
+        if cfg.model.backbone != "hrnet_w48":
+            raise ValueError(
+                f"model.remat={r!r} is an HRNet-only plan; use 'blocks' or "
+                f"'none' with backbone={cfg.model.backbone!r}"
+            )
+    # Multi-scale TTA + resize-eval degenerate together: whole_logits resizes
+    # every scaled view back to eval_size^2 before the forward, so all scales
+    # become near-duplicate forwards (only resampling noise differs).
+    if tuple(cfg.data.eval_scales) != (1.0,) and cfg.data.eval_size > 0:
+        raise ValueError(
+            "data.eval_scales with data.eval_size > 0 makes every scale a "
+            "near-duplicate forward (views are re-resized to eval_size); "
+            "set eval_size: 0 for multi-scale TTA"
         )
 
 

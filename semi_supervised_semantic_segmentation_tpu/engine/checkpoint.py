@@ -7,6 +7,16 @@ information set as the reference's ``torch.save({'model','ema_model',
 thread) bounds preemption loss to one checkpoint interval (SURVEY §5
 failure-recovery contract).  Torch-format import/export for reference
 interop lives in ``engine.compat``.
+
+Compatibility note: round 2 restructured the decoder param tree (ASPP
+``project`` split into per-branch ``project0..project_pool`` +
+``project_norm``; DeepLab ``fuse1`` into ``fuse1a``/``fuse1b``; HRNet head
+``fuse`` into ``fuse0..3`` + ``fuse_norm``) as part of the concat-free
+formulation.  Round-1 Orbax checkpoints of THIS repo therefore no longer
+restore (the old concat kernels correspond row-wise to the new per-branch
+kernels, so a manual split is exact if ever needed).  Reference torch
+checkpoints are unaffected — ``engine.compat`` maps the torch layout
+directly onto the current tree.
 """
 
 from __future__ import annotations

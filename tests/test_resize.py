@@ -64,9 +64,11 @@ def test_bilinear_dtype_preserved_for_bf16():
 @pytest.mark.parametrize("s", [2, 3, 4, 8])
 @pytest.mark.parametrize("in_hw", [(5, 7), (16, 16), (1, 9)])
 def test_integer_upsample_phase_path_matches_torch(s, in_hw):
-    """Integer-factor upsamples take the phase-decomposed fast path
-    (no matmul); it must match torch bilinear align_corners=False exactly,
-    including the edge clamp."""
+    """Pins torch parity of the matmul resize at integer upsample factors
+    (incl. the edge clamp).  A phase-decomposed stencil path was tried and
+    removed — it measured ~9% slower on the full config-5 step (see the
+    ops/resize.py docstring) — so integer factors go through the same
+    matmul formulation as everything else."""
     import torch
     import torch.nn.functional as F
 
