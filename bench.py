@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: images/sec/chip on the labeled+unlabeled SSL step at 512²
-(BASELINE.json:2's primary metric; config-3 shape: DeepLabV3+ ResNet-50,
-fixmatch_cutmix with on-device aug, EMA teacher, CutMix).
+"""Benchmark: images/sec/chip for ALL FIVE experiment configs
+(BASELINE.json:7-11), headline = config 3 (the 512² labeled+unlabeled SSL
+step, BASELINE.json:2's primary metric).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N, "configs": [{...} x5]}
 
-``vs_baseline`` compares against ``bench_baseline.json`` (the first recorded
-TPU measurement of this repo — the reference publishes no numbers,
-BASELINE.json:13 ``published: {}``).  On the first TPU run the baseline file
-is created with the measured value, so later rounds track speedups.
+``vs_baseline`` compares the headline against ``bench_baseline.json`` (the
+first recorded TPU measurement of this repo — the reference publishes no
+numbers, BASELINE.json:13 ``published: {}``).  On the first TPU run the
+baseline file is created with the measured value, so later rounds track
+speedups.  The per-config array keeps every config's throughput in the
+driver's BENCH_r*.json record so a regression in configs 1/2/4/5 is visible,
+not just the headline (VERDICT r2 item 3).
+
+Timing methodology (BASELINE.md): warmup ends with ``float(loss)`` — an
+actual device_get — because on the axon-relayed chip ``block_until_ready``
+can return before enqueued programs execute, and large programs pay a
+one-time first-result relay cost that must land outside the timed window.
 """
 
 from __future__ import annotations
@@ -24,44 +33,39 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 
-CROP = 512
-LABELED = 8
-UNLABELED = 8
+# (config path, per-chip labeled batch, per-chip unlabeled batch, timed iters)
+# Batches are the per-chip shapes of BASELINE.json:7-11 on a v5e-8 (config 5
+# at the measured 4+4 optimum, BASELINE.md round-2 table).  Iteration counts
+# amortize the final device_get RTT to ~1% of the timed window.
+RUNS = [
+    ("configs/1_supervised_unet_r18_128.yaml", 32, 0, 100),
+    ("configs/2_mean_teacher_unet_voc_256.yaml", 16, 16, 50),
+    ("configs/3_fixmatch_dlv3p_r50_voc_512.yaml", 8, 8, 50),
+    ("configs/4_cps_dlv3p_r101_cityscapes_768.yaml", 2, 2, 10),
+    ("configs/5_hrnet_w48_1024_full_ssl.yaml", 4, 4, 10),
+]
+HEADLINE = "configs/3_fixmatch_dlv3p_r50_voc_512.yaml"
 WARMUP = 3
-ITERS = 50  # amortize the final device_get RTT (remote relay) to <1% of the window
 
 
-def main():
-    from semi_supervised_semantic_segmentation_tpu.config import config_from_dict
+def bench_config(path: str, bl: int, bu: int, iters: int, mesh_lib, mesh):
+    from semi_supervised_semantic_segmentation_tpu.config import (
+        load_config,
+        update_config,
+    )
     from semi_supervised_semantic_segmentation_tpu.methods import get_method
     from semi_supervised_semantic_segmentation_tpu.models import build_model
-    from semi_supervised_semantic_segmentation_tpu.parallel import mesh as mesh_lib
 
-    cfg = config_from_dict(
+    cfg = update_config(
+        load_config(os.path.join(REPO, path)),
         {
-            "name": "bench",
-            "data": {
-                "dataset": "synthetic",
-                "num_classes": 21,
-                "crop_size": CROP,
-                "split": "1_4",
-            },
-            "model": {
-                "backbone": "resnet50",
-                "decoder": "deeplabv3plus",
-                "output_stride": 16,
-                "compute_dtype": "bfloat16",
-            },
-            "method": {"name": "fixmatch_cutmix", "conf_thresh": 0.95},
-            "train": {
-                "labeled_batch_size": LABELED,
-                "unlabeled_batch_size": UNLABELED,
-                "epochs": 1,
-            },
-        }
+            "data.dataset": "synthetic",
+            "train.labeled_batch_size": bl,
+            "train.unlabeled_batch_size": max(bu, 1),
+            "model.pretrained": "",
+        },
     )
-    n_chips = len(jax.devices())
-    mesh = mesh_lib.make_mesh()
+    crop, nc = cfg.data.crop_size, cfg.data.num_classes
     model = build_model(cfg)
     method = get_method(cfg.method.name)
     state = method.init_state(cfg, model, jax.random.key(0), total_steps=1000)
@@ -71,39 +75,59 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    canvas = CROP
 
     def mk(batch, labeled):
         return {
-            "image": (rng.rand(batch, canvas, canvas, 3) * 255).astype(np.uint8),
+            "image": (rng.rand(batch, crop, crop, 3) * 255).astype(np.uint8),
             "label": (
-                rng.randint(0, 21, (batch, canvas, canvas)).astype(np.int32)
+                rng.randint(0, nc, (batch, crop, crop)).astype(np.int32)
                 if labeled
-                else np.full((batch, canvas, canvas), 255, np.int32)
+                else np.full((batch, crop, crop), 255, np.int32)
             ),
-            "size": np.full((batch, 2), canvas, np.int32),
+            "size": np.full((batch, 2), crop, np.int32),
         }
 
-    lab = mesh_lib.shard_batch(mk(LABELED, True), mesh)
-    unlab = mesh_lib.shard_batch(mk(UNLABELED, False), mesh)
+    lab = mesh_lib.shard_batch(mk(bl, True), mesh)
+    args = (
+        (lab, mesh_lib.shard_batch(mk(max(bu, 1), False), mesh))
+        if method.uses_unlabeled
+        else (lab,)
+    )
 
     for _ in range(WARMUP):
-        state, metrics = step(state, lab, unlab)
-    float(metrics["loss"])  # materialize: warmup fully drained
+        state, metrics = step(state, *args)
+    float(metrics["loss"])  # drain warmup + one-time relay first-result cost
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, lab, unlab)
-    # Time to the VALUE of the final loss, not block_until_ready: on the
-    # axon-relayed TPU backend block_until_ready (scalar or whole tree) can
-    # return before the enqueued programs finish executing (observed >5x
-    # under-reporting on the CPS config; profiler device time is the ground
-    # truth and a device_get of the chained loss cannot return early).
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    for _ in range(iters):
+        state, metrics = step(state, *args)
+    float(metrics["loss"])  # device_get cannot return early
+    dt = (time.perf_counter() - t0) / iters
 
-    images_per_sec = (LABELED + UNLABELED) * ITERS / dt
-    per_chip = images_per_sec / n_chips
+    # RUNS batches are global; on the driver's single chip global == per-chip.
+    n_img = bl + (bu if method.uses_unlabeled else 0)
+    per_chip = n_img / dt / len(jax.devices())
+    # free HBM before the next (larger) config
+    del state, step, lab, args, metrics
+    return {
+        "name": cfg.name,
+        "batch": f"{bl}+{bu if method.uses_unlabeled else 0}@{crop}",
+        "ms_step": round(dt * 1e3, 1),
+        "img_s_chip": round(per_chip, 2),
+    }
+
+
+def main():
+    from semi_supervised_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    results = []
+    headline_value = None
+    for path, bl, bu, iters in RUNS:
+        r = bench_config(path, bl, bu, iters, mesh_lib, mesh)
+        results.append(r)
+        if path == HEADLINE:
+            headline_value = r["img_s_chip"]
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -114,7 +138,7 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(
                 {
-                    "images_per_sec_per_chip": per_chip,
+                    "images_per_sec_per_chip": headline_value,
                     "config": "dlv3p_r50_fixmatch_cutmix_512",
                     "platform": platform,
                     "note": "first recorded measurement of this repo (reference publishes none)",
@@ -122,16 +146,17 @@ def main():
                 f,
                 indent=2,
             )
-        baseline = per_chip
+        baseline = headline_value
 
-    vs = per_chip / baseline if baseline else 1.0
+    vs = headline_value / baseline if baseline else 1.0
     print(
         json.dumps(
             {
                 "metric": "images/sec/chip @512^2 labeled+unlabeled fixmatch_cutmix dlv3p_r50",
-                "value": round(per_chip, 2),
+                "value": headline_value,
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 3),
+                "configs": results,
             }
         )
     )

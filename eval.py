@@ -78,7 +78,9 @@ def main():
     if args.export_torch:
         from semi_supervised_semantic_segmentation_tpu.engine import compat
 
-        compat.export_reference_checkpoint(args.export_torch, jax.device_get(state), meta)
+        compat.export_reference_checkpoint(
+            args.export_torch, jax.device_get(state), meta, cfg=cfg
+        )
         print(f"reference-layout checkpoint written to {args.export_torch}")
 
     val = Loader(

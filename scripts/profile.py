@@ -365,11 +365,86 @@ def cmd_trace(argv):
           "(all lines; overlapping lines double-count)")
 
 
+# ----------------------------------------------------------------------------
+# copies: rank copy ops in a config's compiled step HLO by shape class
+# ----------------------------------------------------------------------------
+
+def cmd_copies(argv):
+    """Compile one config's train step and classify every `copy` instruction
+    in the optimized HLO by its operand shape (weight-shaped = no batch dim /
+    small, activation-shaped = batch-leading).  Distinguishes whether the
+    config-5 copy tax is weight-layout processing (batch-independent) or
+    activation relayouts (batch-scaling) — see BASELINE.md round-3 notes."""
+    ap = argparse.ArgumentParser(prog="profile.py copies")
+    ap.add_argument("config")
+    ap.add_argument("--set", action="append", default=[])
+    ap.add_argument("--bl", type=int, default=2)
+    ap.add_argument("--bu", type=int, default=2)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from semi_supervised_semantic_segmentation_tpu.config import (
+        load_config,
+        update_config,
+    )
+    from semi_supervised_semantic_segmentation_tpu.methods import get_method
+    from semi_supervised_semantic_segmentation_tpu.models import build_model
+
+    overrides = {"data.dataset": "synthetic", "model.pretrained": "",
+                 "train.labeled_batch_size": args.bl,
+                 "train.unlabeled_batch_size": max(args.bu, 1)}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = v
+    cfg = update_config(load_config(args.config), overrides)
+    crop, nc = cfg.data.crop_size, cfg.data.num_classes
+    rng = np.random.RandomState(0)
+    model = build_model(cfg)
+    method = get_method(cfg.method.name)
+    state = method.init_state(cfg, model, jax.random.key(0), 1000)
+    lab = _mk_batch(args.bl, crop, nc, True, rng)
+    a = (lab, _mk_batch(args.bu, crop, nc, False, rng)) if method.uses_unlabeled else (lab,)
+    step = jax.jit(method.make_train_step(cfg, model, 1000), donate_argnums=0)
+    txt = step.lower(state, *a).compile().as_text()
+
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\][^=]*=\s*copy\(")
+    batch = args.bl + max(args.bu, 1)
+    counts = collections.Counter()
+    bytes_by = collections.Counter()
+    kind_bytes = collections.Counter()
+    DT = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "u8": 1,
+          "f16": 2, "s8": 1}
+    for m in shape_re.finditer(txt):
+        dt, dims_s = m.group(1), m.group(2)
+        dims = [int(d) for d in dims_s.split(",") if d] or [1]
+        nbytes = DT.get(dt, 4)
+        for d in dims:
+            nbytes *= d
+        key = f"{dt}[{dims_s}]"
+        counts[key] += 1
+        bytes_by[key] += nbytes
+        # classification: leading dim == step batch (or 2x for concat views)
+        # -> activation; else weight/layout constant
+        is_act = dims and dims[0] in (batch, args.bl, max(args.bu, 1), 2 * batch)
+        kind_bytes["activation" if is_act else "weight/other"] += nbytes
+    total = sum(bytes_by.values())
+    print(f"copies: {sum(counts.values())} instructions, "
+          f"{total / 1e6:.1f} MB total copied")
+    for kind, b in kind_bytes.most_common():
+        print(f"  {kind}: {b / 1e6:.1f} MB")
+    print(f"{'count':>6} {'MB':>9}  shape")
+    for key, b in bytes_by.most_common(args.top):
+        print(f"{counts[key]:6d} {b / 1e6:9.2f}  {key}")
+
+
 COMMANDS = {
     "step": cmd_step,
     "components": cmd_components,
     "compile": cmd_compile,
     "trace": cmd_trace,
+    "copies": cmd_copies,
 }
 
 

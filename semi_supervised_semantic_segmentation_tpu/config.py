@@ -98,6 +98,10 @@ class MethodConfig:
     rampup_iters: int = 0  # 0 = no ramp-up; else sigmoid ramp over N iters
     rampup_kind: str = "sigmoid"  # sigmoid | linear
     cps_weight: float = 1.5
+    # CPS dual-net execution: 'stacked' (params on a leading net axis, one
+    # vmapped apply -> conv with batch_group_count=2 at doubled batch) |
+    # 'separate' (two sequential forwards).  Identical math.
+    cps_impl: str = "stacked"
     cutmix_prob: float = 1.0
     # Supervised CE variant: 'ce' | 'ohem' (online hard example mining, the
     # Cityscapes recipe of the CPS/HRNet lineage).
@@ -148,7 +152,11 @@ class TrainConfig:
 class ParallelConfig:
     # -1 = use all visible devices on the data axis.
     data_parallel: int = -1
-    model_parallel: int = 1  # reserved; must be 1 (no TP for convnets here)
+    # >1 enables SPATIAL partitioning over the 'model' mesh axis: the HRNet
+    # stem's full/half-resolution activations are H-sharded with halo
+    # exchange over ICI (parallel/spatial.py; hrnet_w48 only).  There is no
+    # tensor parallelism — convnets at these sizes don't need it.
+    model_parallel: int = 1
     mesh_axes: Tuple[str, str] = ("data", "model")
 
 
@@ -300,6 +308,7 @@ _VALID = {
     "model.fuse_impl": {"conv", "s2d"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
     "method.sup_loss": {"ce", "ohem"},
+    "method.cps_impl": {"stacked", "separate"},
 }
 
 
@@ -317,8 +326,13 @@ def validate(cfg: Config) -> None:
             raise ValueError(f"{dotted}={val!r} not in {sorted(allowed)}")
     if cfg.model.output_stride not in (8, 16, 32):
         raise ValueError(f"output_stride must be 8, 16 or 32, got {cfg.model.output_stride}")
-    if cfg.parallel.model_parallel != 1:
-        raise ValueError("model_parallel is reserved and must be 1")
+    if cfg.parallel.model_parallel < 1:
+        raise ValueError("model_parallel must be >= 1")
+    if cfg.parallel.model_parallel > 1 and cfg.model.backbone != "hrnet_w48":
+        raise ValueError(
+            "parallel.model_parallel > 1 (spatial stem sharding) is only "
+            "wired for backbone hrnet_w48"
+        )
     if cfg.data.crop_size % 32 != 0:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
     r = cfg.model.remat

@@ -348,13 +348,176 @@ def load_pretrained_encoder(path: str, params: Any, batch_stats: Any):
 
 
 # ---------------------------------------------------------------------------
+# Optimizer state (torch SGD momentum_buffer <-> optax trace)
+# ---------------------------------------------------------------------------
+#
+# The reference saves ``state_dict(opt)`` (SURVEY §3.4): {'state': {idx:
+# {'momentum_buffer': tensor}}, 'param_groups': [{'params': [idx...], 'lr',
+# 'momentum', ...}]}.  Our optax ``trace`` buffer IS torch's momentum_buffer
+# (both hold buf after ``buf = momentum*buf + grad``), so interop is a name/
+# index/layout mapping, not a math conversion.  Index convention: parameters
+# enumerate in our flat torch-layout order (encoder.* then decoder.*; for
+# CPS, all of model then all of model2), param_groups split backbone/head
+# (the 10x-head-LR construction) per net.
+
+
+def _is_head_key(flat_key: str) -> bool:
+    """Mirror engine.state.head_label_tree: a param is 'head' iff its path
+    passes through a module whose name starts with 'decoder'."""
+    return any(part.startswith("decoder") for part in flat_key.split("."))
+
+
+def _pick_momentum(params: Any, labels: Any, traces: Dict[str, Any]) -> Any:
+    """Merge the per-group (masked) trace trees into one tree mirroring
+    ``params``: at each leaf take the group the label selects (the other
+    group's leaf is an optax.MaskedNode sentinel)."""
+    if isinstance(params, dict):
+        return {
+            k: _pick_momentum(
+                params[k],
+                labels[k],
+                {g: t[k] for g, t in traces.items()},
+            )
+            for k in params
+        }
+    return traces[labels]
+
+
+def _split_momentum(merged: Any, labels: Any, template: Any, group: str) -> Any:
+    """Inverse of _pick_momentum for one group: take merged leaves where the
+    label matches ``group``, keep the template's MaskedNode elsewhere."""
+    if isinstance(merged, dict):
+        return {
+            k: _split_momentum(merged[k], labels[k], template[k], group)
+            for k in merged
+        }
+    return merged if labels == group else template
+
+
+def export_optimizer_state(state, cfg=None) -> Dict[str, Any]:
+    """Build the reference's ``state_dict(opt)`` dict from an optax
+    opt_state (momentum buffers in torch OIHW layout, indexed in our flat
+    torch-layout parameter order)."""
+    import jax
+    import torch
+
+    from semi_supervised_semantic_segmentation_tpu.engine.state import (
+        get_momentum_trees,
+        head_label_tree,
+    )
+
+    traces = jax.device_get(get_momentum_trees(state.opt_state))
+    params = jax.device_get(state.params)
+    is_cps = isinstance(params, dict) and "net1" in params
+    nets = [("net1", params["net1"]), ("net2", params["net2"])] if is_cps else [
+        (None, params)
+    ]
+
+    opt_state_out: Dict[int, Dict[str, Any]] = {}
+    param_groups = []
+    idx = 0
+    lr = float(cfg.optim.lr) if cfg is not None else 0.0
+    for net_name, net_params in nets:
+        net_traces = (
+            {g: t[net_name] for g, t in traces.items()} if net_name else traces
+        )
+        labels = head_label_tree(net_params)
+        merged = _pick_momentum(net_params, labels, net_traces)
+        flat_mom = flatten_params_to_torch_layout(merged, {})
+        group_idx = {"backbone": [], "head": []}
+        for key, buf in flat_mom.items():
+            opt_state_out[idx] = {
+                "momentum_buffer": torch.from_numpy(np.ascontiguousarray(buf))
+            }
+            group_idx["head" if _is_head_key(key) else "backbone"].append(idx)
+            idx += 1
+        for g, mult in (("backbone", 1.0), ("head", None)):
+            m = (cfg.optim.head_lr_mult if cfg is not None else 10.0) if mult is None else mult
+            param_groups.append(
+                {
+                    "params": group_idx[g],
+                    "lr": lr * m,
+                    "momentum": float(cfg.optim.momentum) if cfg is not None else 0.9,
+                    "weight_decay": float(cfg.optim.weight_decay) if cfg is not None else 0.0,
+                    "nesterov": bool(cfg.optim.nesterov) if cfg is not None else False,
+                    "dampening": 0.0,
+                }
+            )
+    return {"state": opt_state_out, "param_groups": param_groups}
+
+
+def import_optimizer_state(opt_dict: Dict[str, Any], state):
+    """Inverse of export_optimizer_state: place torch momentum buffers into
+    the optax trace leaves (and sync the LR-schedule step counter to
+    ``state.step`` so a resumed trajectory continues at the right LR).
+    Returns the new opt_state."""
+    import jax
+
+    from semi_supervised_semantic_segmentation_tpu.engine.state import (
+        get_momentum_trees,
+        head_label_tree,
+        replace_momentum_trees,
+        set_opt_step,
+    )
+
+    raw_state = opt_dict["state"]
+    buffers = {
+        int(k): np.asarray(
+            v["momentum_buffer"].numpy()
+            if hasattr(v["momentum_buffer"], "numpy")
+            else v["momentum_buffer"]
+        )
+        for k, v in raw_state.items()
+    }
+    params = jax.device_get(state.params)
+    is_cps = isinstance(params, dict) and "net1" in params
+    nets = [("net1", params["net1"]), ("net2", params["net2"])] if is_cps else [
+        (None, params)
+    ]
+    traces = get_momentum_trees(state.opt_state)
+
+    idx = 0
+    new_traces = {g: t for g, t in traces.items()}
+    for net_name, net_params in nets:
+        flat_names = list(flatten_params_to_torch_layout(net_params, {}).keys())
+        flat_mom: Dict[str, np.ndarray] = {}
+        for key in flat_names:
+            if idx not in buffers:
+                raise ValueError(
+                    f"optimizer state missing index {idx} (param {key!r}); "
+                    f"got {len(buffers)} buffers for {len(flat_names)} params"
+                )
+            flat_mom[key] = buffers[idx]
+            idx += 1
+        merged, _ = unflatten_torch_layout(flat_mom, net_params, {})
+        labels = head_label_tree(net_params)
+        for g in new_traces:
+            tmpl = new_traces[g][net_name] if net_name else new_traces[g]
+            split = _split_momentum(merged, labels, tmpl, g)
+            if net_name:
+                new_traces[g] = {**new_traces[g], net_name: split}
+            else:
+                new_traces[g] = split
+    if idx != len(buffers):
+        raise ValueError(
+            f"optimizer state has {len(buffers)} buffers but model enumerates "
+            f"{idx} parameters"
+        )
+    new_opt = replace_momentum_trees(state.opt_state, new_traces)
+    return set_opt_step(new_opt, state.step)
+
+
+# ---------------------------------------------------------------------------
 # Reference-layout checkpoint files (torch.save dict)
 # ---------------------------------------------------------------------------
 
 
-def export_reference_checkpoint(path: str, state, meta: Optional[dict] = None):
+def export_reference_checkpoint(
+    path: str, state, meta: Optional[dict] = None, cfg=None
+):
     """Write the reference's checkpoint layout:
-    {'model': flat torch-layout dict, 'ema_model'|'model2': ..., 'epoch',
+    {'model': flat torch-layout dict, 'ema_model'|'model2': ...,
+    'optimizer': state_dict(opt) with momentum buffers, 'epoch',
     'best_miou', 'step'} via torch.save."""
     import jax
     import torch
@@ -383,30 +546,44 @@ def export_reference_checkpoint(path: str, state, meta: Optional[dict] = None):
                     jax.device_get(state.ema_batch_stats),
                 )
             )
+    try:
+        out["optimizer"] = export_optimizer_state(state, cfg)
+    except ValueError:
+        pass  # non-make_optimizer opt_state (e.g. tests with a bare optax tx)
     torch.save(out, path)
 
 
 def import_reference_checkpoint(path: str, state):
     """Read a reference-layout torch checkpoint into a TrainState (params,
-    batch_stats, ema/net2 when present).  Optimizer state is NOT carried
-    (momentum buffers restart — same behavior as cross-framework resumes)."""
+    batch_stats, ema/net2, and — when the checkpoint carries 'optimizer' —
+    the SGD momentum buffers and LR-schedule step, completing the SURVEY
+    §3.4 state_dict(opt) contract).  Checkpoints without 'optimizer' still
+    load; momentum then restarts."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     to_np = lambda d: {k: v.numpy() for k, v in d.items()}
     params, stats = state.params, state.batch_stats
+    step = np.int32(obj.get("step", 0))
     if "model2" in obj and isinstance(params, dict) and "net1" in params:
         p1, s1 = unflatten_torch_layout(to_np(obj["model"]), params["net1"], stats["net1"])
         p2, s2 = unflatten_torch_layout(to_np(obj["model2"]), params["net2"], stats["net2"])
-        new_params = {"net1": p1, "net2": p2}
-        new_stats = {"net1": s1, "net2": s2}
-        return state.replace(params=new_params, batch_stats=new_stats,
-                             step=np.int32(obj.get("step", 0)))
-    p, s = unflatten_torch_layout(to_np(obj["model"]), params, stats)
-    kw = dict(params=p, batch_stats=s, step=np.int32(obj.get("step", 0)))
-    if "ema_model" in obj and state.ema_params is not None:
-        ep, es = unflatten_torch_layout(
-            to_np(obj["ema_model"]), state.ema_params, state.ema_batch_stats
+        new_state = state.replace(
+            params={"net1": p1, "net2": p2},
+            batch_stats={"net1": s1, "net2": s2},
+            step=step,
         )
-        kw.update(ema_params=ep, ema_batch_stats=es)
-    return state.replace(**kw)
+    else:
+        p, s = unflatten_torch_layout(to_np(obj["model"]), params, stats)
+        kw = dict(params=p, batch_stats=s, step=step)
+        if "ema_model" in obj and state.ema_params is not None:
+            ep, es = unflatten_torch_layout(
+                to_np(obj["ema_model"]), state.ema_params, state.ema_batch_stats
+            )
+            kw.update(ema_params=ep, ema_batch_stats=es)
+        new_state = state.replace(**kw)
+    if "optimizer" in obj:
+        new_state = new_state.replace(
+            opt_state=import_optimizer_state(obj["optimizer"], new_state)
+        )
+    return new_state

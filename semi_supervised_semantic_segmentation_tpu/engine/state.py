@@ -77,6 +77,78 @@ def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformatio
     return base
 
 
+def _find_multi_transform_state(opt_state):
+    """Locate the MultiTransformState inside the (optionally clip-wrapped)
+    optimizer state built by make_optimizer."""
+    if hasattr(opt_state, "inner_states"):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            if hasattr(s, "inner_states"):
+                return s
+    raise ValueError("opt_state does not match make_optimizer's structure")
+
+
+def get_momentum_trees(opt_state):
+    """{'backbone': trace_tree, 'head': trace_tree} from an opt_state built
+    by make_optimizer.  Each trace tree mirrors the params tree; leaves that
+    belong to the OTHER group are optax.MaskedNode sentinels.  The optax
+    ``trace`` buffer equals torch SGD's ``momentum_buffer`` exactly (both
+    store buf after ``buf = momentum * buf + grad``) — the basis of the
+    checkpoint-format optimizer interop (SURVEY §3.4)."""
+    mts = _find_multi_transform_state(opt_state)
+    out = {}
+    for label, masked in mts.inner_states.items():
+        trace_state = next(s for s in masked.inner_state if hasattr(s, "trace"))
+        out[label] = trace_state.trace
+    return out
+
+
+def replace_momentum_trees(opt_state, new_traces):
+    """Return a new opt_state with each group's trace tree replaced (leaves
+    where the group's mask is off must stay MaskedNode)."""
+    mts = _find_multi_transform_state(opt_state)
+    new_inner_states = {}
+    for label, masked in mts.inner_states.items():
+        parts = []
+        for s in masked.inner_state:
+            if hasattr(s, "trace"):
+                parts.append(s._replace(trace=new_traces[label]))
+            else:
+                parts.append(s)
+        new_inner_states[label] = masked._replace(inner_state=tuple(parts))
+    new_mts = mts._replace(inner_states=new_inner_states)
+    if mts is opt_state:
+        return new_mts
+    return tuple(new_mts if s is mts else s for s in opt_state)
+
+
+def set_opt_step(opt_state, step):
+    """Sync the LR-schedule counter (scale_by_schedule's ``count``) to
+    ``step`` so an imported optimizer continues the poly schedule where the
+    checkpoint left off."""
+    import numpy as np
+
+    mts = _find_multi_transform_state(opt_state)
+    new_inner_states = {}
+    for label, masked in mts.inner_states.items():
+        # NB: hasattr(s, "count") is True for EVERY namedtuple (tuple.count
+        # method) — check the declared fields instead.  A FRESH array per
+        # leaf: sharing one buffer across groups breaks donation (XLA
+        # rejects donating the same buffer twice).
+        parts = tuple(
+            s._replace(count=jnp.asarray(np.int32(step)))
+            if "count" in getattr(s, "_fields", ())
+            else s
+            for s in masked.inner_state
+        )
+        new_inner_states[label] = masked._replace(inner_state=parts)
+    new_mts = mts._replace(inner_states=new_inner_states)
+    if mts is opt_state:
+        return new_mts
+    return tuple(new_mts if s is mts else s for s in opt_state)
+
+
 def current_lr(cfg: Config, total_steps: int, step: int) -> float:
     return float(poly_lr(step, cfg.optim.lr, total_steps, cfg.optim.poly_power))
 

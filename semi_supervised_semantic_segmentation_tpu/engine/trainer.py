@@ -54,7 +54,7 @@ class Trainer:
             self.mesh.devices.flat[0].platform,
         )
 
-        self.model = build_model(cfg)
+        self.model = build_model(cfg, mesh=self.mesh)
         self.method = get_method(cfg.method.name)
 
         # Data: labeled loader always; unlabeled only for SSL methods.

@@ -178,6 +178,11 @@ class HRNet(nn.Module):
     # 'conv' | 's2d': formulation of the stride-2 fuse-down/transition convs
     # (see HRModule.fuse_s2d).
     fuse_impl: str = "conv"
+    # Optional Mesh with a >1 'model' axis: the two full/half-resolution
+    # stem convs (the largest activations at 1024^2) run H-sharded with halo
+    # exchange (models/layers.py::SpatialConv); activations re-replicate
+    # before layer1.  SURVEY §2.3/§5 spatial-partitioning escape hatch.
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -199,9 +204,25 @@ class HRNet(nn.Module):
                 nn.remat(HRModule, static_argnums=(2,)), fuse_s2d=fuse_s2d
             )
 
-        x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem1", **kw)(x, train)
+        x = ConvNormAct(
+            64, (3, 3), strides=(2, 2), spatial_mesh=self.spatial_mesh,
+            name="stem1", **kw
+        )(x, train)
         c1 = x  # stride 2
-        x = ConvNormAct(64, (3, 3), strides=(2, 2), name="stem2", **kw)(x, train)
+        x = ConvNormAct(
+            64, (3, 3), strides=(2, 2), spatial_mesh=self.spatial_mesh,
+            name="stem2", **kw
+        )(x, train)
+        if self.spatial_mesh is not None:
+            # Leave the spatially-partitioned region: the rest of the net
+            # (stride >= 4, small activations) runs batch-DP only.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            import jax
+
+            rep = NamedSharding(self.spatial_mesh, P("data", None, None, None))
+            x = jax.lax.with_sharding_constraint(x, rep)
+            c1 = jax.lax.with_sharding_constraint(c1, rep)
 
         layer1_cls = (
             nn.remat(Bottleneck, static_argnums=(2,))

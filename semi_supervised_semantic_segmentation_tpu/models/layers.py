@@ -101,6 +101,57 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm kind: {self.kind}")
 
 
+class SpatialConv(nn.Module):
+    """Stride-2 3x3 conv computed under ``shard_map`` with activation H
+    sharded on the 'model' mesh axis and a one-row halo pulled over ICI
+    (parallel/spatial.py) — the spatial-partitioning escape hatch for
+    full-resolution stem activations (SURVEY §2.3/§5).  Param path pinned to
+    the nn.Conv layout (``kernel`` under a module named 'Conv_0') so
+    checkpoints and torch imports are unchanged.  Numerically identical to
+    the plain conv (tests/test_spatial.py)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    mesh: Any = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from semi_supervised_semantic_segmentation_tpu.parallel import (
+            spatial as sp,
+        )
+
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        if self.is_initializing():
+            # init() runs on a batch-1 dummy that need not divide the mesh;
+            # param shapes don't depend on the sharded path.
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), (2, 2),
+                padding=[((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        mesh = self.mesh
+        axis_size = mesh.shape["model"]
+        spec = P("data", "model", None, None)
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        def local(xl, wl):
+            return sp.spatial_conv2d_stride2(xl, wl, "model", axis_size)
+
+        return sp.shard_map(
+            local, mesh=mesh, in_specs=(spec, P()), out_specs=spec
+        )(x.astype(self.dtype), w.astype(self.dtype))
+
+
 class ConvNormAct(nn.Module):
     """Conv -> Norm -> (optional) ReLU, the workhorse block."""
 
@@ -116,10 +167,19 @@ class ConvNormAct(nn.Module):
     # Compute a stride-2 small-Cin conv via space-to-depth (see S2DStemConv)
     # — exact same math and param layout, 4x denser MXU input feed.
     s2d: bool = False
+    # When set (a jax.sharding.Mesh with a >1 'model' axis), stride-2 convs
+    # run H-sharded under shard_map with halo exchange (SpatialConv).
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.s2d:
+        if self.spatial_mesh is not None:
+            assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
+            x = SpatialConv(
+                self.features, self.kernel, mesh=self.spatial_mesh,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        elif self.s2d:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
             # name pinned to 'Conv_0' so the param path matches the nn.Conv
             # it replaces (checkpoints, torch imports).

@@ -54,6 +54,8 @@ class SegModel(nn.Module):
     stem_impl: str = "conv"
     # HRNet stride-2 fuse-down/transition conv formulation: 'conv' | 's2d'.
     fuse_impl: str = "conv"
+    # Mesh for spatial (H) sharding of the HRNet stem (model axis > 1).
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,6 +82,7 @@ class SegModel(nn.Module):
                 remat_stages=_remat_stages(self.remat),
                 remat_scope="branch_blocks" if self.remat == "branches" else "module",
                 fuse_impl=self.fuse_impl,
+                spatial_mesh=self.spatial_mesh,
                 name="encoder",
             )(x, train)
         else:
@@ -125,7 +128,13 @@ class SegModel(nn.Module):
         return logits
 
 
-def build_model(cfg: Config) -> SegModel:
+def build_model(cfg: Config, mesh: Any = None) -> SegModel:
+    """Build the SegModel for ``cfg``.  ``mesh`` only matters when
+    ``cfg.parallel.model_parallel > 1``: the HRNet stem then runs H-sharded
+    over the mesh's 'model' axis (spatial partitioning, SURVEY §2.3)."""
+    spatial_mesh = (
+        mesh if (mesh is not None and cfg.parallel.model_parallel > 1) else None
+    )
     return SegModel(
         backbone=cfg.model.backbone,
         decoder=cfg.model.decoder,
@@ -139,4 +148,5 @@ def build_model(cfg: Config) -> SegModel:
         remat=cfg.model.remat if cfg.model.remat != "none" else "",
         stem_impl=cfg.model.stem_impl,
         fuse_impl=cfg.model.fuse_impl,
+        spatial_mesh=spatial_mesh,
     )

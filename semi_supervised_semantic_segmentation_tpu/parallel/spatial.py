@@ -72,6 +72,43 @@ def spatial_conv2d_same(
     )
 
 
+def halo_pull_prev_h(x: jnp.ndarray, rows: int, axis_name: str, axis_size: int) -> jnp.ndarray:
+    """Prepend ``rows`` boundary rows pulled from the PREVIOUS device along
+    sharded H (device 0 receives zeros == global top zero padding).
+    Returns (N, H_local + rows, W, C)."""
+    if axis_size == 1:
+        return jnp.pad(x, [(0, 0), (rows, 0), (0, 0), (0, 0)])
+    from_prev = jax.lax.ppermute(
+        x[:, -rows:], axis_name, [(i, i + 1) for i in range(axis_size - 1)]
+    )
+    return jnp.concatenate([from_prev, x], axis=1)
+
+
+def spatial_conv2d_stride2(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,  # (3, kw, Cin, Cout)
+    axis_name: str,
+    axis_size: int,
+) -> jnp.ndarray:
+    """3xkw stride-2 conv with torch-style (1, 1) padding on an H-sharded
+    activation — numerically identical to the global conv (the HRNet/ResNet
+    stem shape).  With pad (1,1), k=3, s=2 and even local H, output row o of
+    shard d reads global rows 2o-1..2o+1, so each shard needs exactly ONE
+    top halo row from its predecessor and no bottom halo."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh != 3:
+        raise ValueError(f"stride-2 spatial conv expects kh=3, got {kh}")
+    if x.shape[1] % 2 != 0:
+        raise ValueError("local H must be even for stride-2 spatial conv")
+    xp = halo_pull_prev_h(x, 1, axis_name, axis_size)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        xp, kernel, (2, 2),
+        padding=[(0, 0), ((kw - 1) // 2, (kw - 1) // 2)],
+        dimension_numbers=dn,
+    )
+
+
 def spatially_sharded_call(
     fn: Callable,  # fn(x_local, axis_name, axis_size) -> y_local
     mesh: Mesh,

@@ -199,6 +199,7 @@ def test_voc_native_decode_matches_pil(voc_root):
     np.testing.assert_array_equal(lab_pil, lab_nat)
 
 
+@pytest.mark.slow
 def test_voc_train_step_and_eval_end_to_end(voc_root):
     """Fabricated tree -> Loader -> one jitted supervised step -> one eval."""
     cfg = _voc_cfg(voc_root)
@@ -260,6 +261,7 @@ def test_cityscapes_native_fallback_decode_matches_pil(city_root):
     np.testing.assert_array_equal(lab_pil, lab_nat)
 
 
+@pytest.mark.slow
 def test_cityscapes_loader_and_train_step(city_root):
     raw = {
         "data": {"dataset": "cityscapes", "data_root": city_root, "split": "1_4",

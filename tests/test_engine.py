@@ -27,6 +27,7 @@ def _setup(method_name: str, crop=64):
 
 
 @pytest.mark.parametrize("method_name", ["supervised", "mean_teacher", "fixmatch_cutmix", "cps"])
+@pytest.mark.slow
 def test_step_runs_and_loss_finite(method_name):
     cfg, model, method, state, step = _setup(method_name)
     lab = synthetic_batch(4, cfg.data.crop_size, seed=0, labeled=True)
@@ -56,6 +57,7 @@ def test_supervised_loss_decreases():
     assert last < first * 0.7, (first, last)
 
 
+@pytest.mark.slow
 def test_determinism_same_seed_same_losses():
     cfg, model, method, s1, step = _setup("fixmatch_cutmix")
     s2 = method.init_state(cfg, model, jax.random.key(0), total_steps=50)
@@ -70,6 +72,7 @@ def test_determinism_same_seed_same_losses():
     assert t1 == t2
 
 
+@pytest.mark.slow
 def test_ema_moves_toward_student():
     cfg, model, method, state, step = _setup("mean_teacher")
     lab = synthetic_batch(4, cfg.data.crop_size, seed=0)
@@ -91,6 +94,7 @@ def test_ema_moves_toward_student():
     assert d_ema_init > 0  # but did move off the init
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_bit_identical(tmp_path):
     cfg, model, method, state, step = _setup("supervised")
     lab = synthetic_batch(4, cfg.data.crop_size, seed=0)
@@ -109,6 +113,7 @@ def test_checkpoint_roundtrip_bit_identical(tmp_path):
     assert float(m_a["loss"]) == float(m_b["loss"])
 
 
+@pytest.mark.slow
 def test_eval_step_confmat_shape_and_counts():
     cfg, model, method, state, step = _setup("supervised")
     eval_step = jax.jit(make_eval_step(cfg, model))
@@ -118,6 +123,7 @@ def test_eval_step_confmat_shape_and_counts():
     assert cm.sum() == 4 * cfg.data.crop_size**2  # all pixels valid
 
 
+@pytest.mark.slow
 def test_fixmatch_pallas_cutmix_path_runs():
     """data.cutmix_impl=pallas routes the fixmatch step through the fused
     ops.pallas_aug kernel (interpret mode off-TPU); one step, finite loss,

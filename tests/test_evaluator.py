@@ -3,6 +3,7 @@ both apply; window starts cover the canvas; blank-pad slots contribute
 nothing."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_sliding_equals_whole_when_one_window():
     np.testing.assert_array_equal(cm_w, cm_s)
 
 
+@pytest.mark.slow
 def test_sliding_counts_all_pixels_on_larger_canvas():
     cfg = tiny_cfg("supervised", crop=32, **{"data.eval_mode": "sliding"})
     model = build_model(cfg)
@@ -47,6 +49,7 @@ def test_sliding_counts_all_pixels_on_larger_canvas():
     assert cm.sum() == 2 * 48 * 48
 
 
+@pytest.mark.slow
 def test_sliding_covers_nonsquare_cityscapes_aspect():
     """Cityscapes-like 1:2 aspect canvas: the window grid must tile both
     axes (flush windows at each edge) and count every pixel exactly once in
@@ -70,6 +73,7 @@ def test_sliding_covers_nonsquare_cityscapes_aspect():
     assert cm.sum() == 48 * 96
 
 
+@pytest.mark.slow
 def test_eval_size_resizes_whole_image_forward():
     """data.eval_size: whole-mode forwards at eval_size^2 and scores logits
     upsampled back to the canvas; eval_size == canvas is a no-op."""
@@ -94,6 +98,7 @@ def test_eval_size_resizes_whole_image_forward():
     assert cm_resized.sum() == cm_plain.sum() == 2 * 32 * 32
 
 
+@pytest.mark.slow
 def test_blank_pad_rows_are_ignored():
     cfg = tiny_cfg("supervised", crop=32)
     model = build_model(cfg)
@@ -105,6 +110,7 @@ def test_blank_pad_rows_are_ignored():
     assert cm.sum() == 32 * 32  # only sample 0 counted
 
 
+@pytest.mark.slow
 def test_tta_defaults_match_plain_eval():
     """eval_flip=False, eval_scales=(1.0,) must be bit-identical to the
     pre-TTA evaluator (argmax of softmax == argmax of logits)."""
@@ -170,6 +176,7 @@ def test_tta_flip_matches_manual_average():
     np.testing.assert_array_equal(cm, want)
 
 
+@pytest.mark.slow
 def test_tta_multiscale_runs_and_counts_all_pixels():
     """Multi-scale TTA compiles as one program and scores every labeled
     pixel exactly once."""

@@ -21,6 +21,7 @@ from semi_supervised_semantic_segmentation_tpu.models.resnet import ResNet
         ("hrnet_w48", "hrnet_head", 32),  # config 5's reference pairing
     ],
 )
+@pytest.mark.slow
 def test_forward_shapes(backbone, decoder, os_):
     model = SegModel(
         backbone=backbone, decoder=decoder, num_classes=7,
@@ -36,6 +37,7 @@ def test_forward_shapes(backbone, decoder, os_):
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_dilated_resnet_keeps_resolution():
     """output_stride 8/16 dilates instead of striding (DeepLab contract)."""
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -118,6 +120,7 @@ def test_deeplab_split_projection_equals_concat_formulation():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_branches_remat_matches_module_remat_gradients():
     """model.remat='branches' (checkpoint only the branch block chains)
     must be numerically identical to whole-module remat — remat never

@@ -27,6 +27,7 @@ def _max_param_diff(a, b):
     )
 
 
+@pytest.mark.slow
 def test_dp_step_equals_single_device_step():
     cfg = tiny_cfg("supervised", crop=32)
     model = build_model(cfg)
@@ -82,6 +83,7 @@ def test_mesh_shapes():
         mesh_lib.make_mesh(data_parallel=16)
 
 
+@pytest.mark.slow
 def test_ssl_step_runs_sharded():
     """FixMatch step (teacher + CutMix + student) compiles and runs under the
     8-device mesh with both batches sharded."""

@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
+import pytest
+
+pytestmark = pytest.mark.slow  # 30-step torch-oracle runs, ~2-3 min each
 
 from semi_supervised_semantic_segmentation_tpu.engine import compat
 from semi_supervised_semantic_segmentation_tpu.methods import fixmatch, supervised
