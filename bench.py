@@ -41,7 +41,7 @@ RUNS = [
     ("configs/1_supervised_unet_r18_128.yaml", 32, 0, 100),
     ("configs/2_mean_teacher_unet_voc_256.yaml", 16, 16, 50),
     ("configs/3_fixmatch_dlv3p_r50_voc_512.yaml", 8, 8, 50),
-    ("configs/4_cps_dlv3p_r101_cityscapes_768.yaml", 2, 2, 10),
+    ("configs/4_cps_dlv3p_r101_cityscapes_768.yaml", 4, 4, 10),
     ("configs/5_hrnet_w48_1024_full_ssl.yaml", 4, 4, 10),
 ]
 HEADLINE = "configs/3_fixmatch_dlv3p_r50_voc_512.yaml"

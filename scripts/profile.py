@@ -327,6 +327,11 @@ def cmd_trace(argv):
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--raw", action="store_true", help="don't bucket op names")
     ap.add_argument("--lines", action="store_true", help="list plane line names")
+    ap.add_argument(
+        "--line", default="",
+        help="aggregate ONLY events on plane lines whose name contains this "
+        "substring (e.g. 'XLA Ops' = the synchronous critical-path ops; "
+        "async DMA lines overlap compute and double-count the step)")
     args = ap.parse_args(argv)
 
     # The tensorboard profile plugin's native converter is incompatible with
@@ -346,6 +351,8 @@ def cmd_trace(argv):
         if "/device:TPU" not in p.name:
             continue
         for line in p.lines:
+            if args.line and line.name != args.line:
+                continue
             for ev in line.events:
                 meta = p.event_metadata[ev.metadata_id]
                 key = meta.name if args.raw else _bucket(meta.name)
@@ -409,22 +416,27 @@ def cmd_copies(argv):
     step = jax.jit(method.make_train_step(cfg, model, 1000), donate_argnums=0)
     txt = step.lower(state, *a).compile().as_text()
 
-    shape_re = re.compile(r"(\w+)\[([\d,]*)\][^=]*=\s*copy\(")
+    # HLO text: `%name = bf16[4,256,256,48]{3,2,1,0:T(8,128)(2,1)S(1)} copy(...)`
+    shape_re = re.compile(
+        r"=\s*(\w+)\[([\d,]*)\](\{[^}]*\})?\s+(copy|copy-start)\(")
     batch = args.bl + max(args.bu, 1)
     counts = collections.Counter()
     bytes_by = collections.Counter()
     kind_bytes = collections.Counter()
+    space = collections.Counter()
     DT = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "u8": 1,
           "f16": 2, "s8": 1}
     for m in shape_re.finditer(txt):
-        dt, dims_s = m.group(1), m.group(2)
+        dt, dims_s, layout, op = m.group(1), m.group(2), m.group(3) or "", m.group(4)
         dims = [int(d) for d in dims_s.split(",") if d] or [1]
         nbytes = DT.get(dt, 4)
         for d in dims:
             nbytes *= d
-        key = f"{dt}[{dims_s}]"
+        key = f"{op} {dt}[{dims_s}]{layout}"
         counts[key] += 1
         bytes_by[key] += nbytes
+        sp = re.search(r"S\((\d+)\)", layout)
+        space[f"S({sp.group(1)})" if sp else "default"] += 1
         # classification: leading dim == step batch (or 2x for concat views)
         # -> activation; else weight/layout constant
         is_act = dims and dims[0] in (batch, args.bl, max(args.bu, 1), 2 * batch)
@@ -434,6 +446,8 @@ def cmd_copies(argv):
           f"{total / 1e6:.1f} MB total copied")
     for kind, b in kind_bytes.most_common():
         print(f"  {kind}: {b / 1e6:.1f} MB")
+    for sp, c in space.most_common():
+        print(f"  dest space {sp}: {c} copies")
     print(f"{'count':>6} {'MB':>9}  shape")
     for key, b in bytes_by.most_common(args.top):
         print(f"{counts[key]:6d} {b / 1e6:9.2f}  {key}")

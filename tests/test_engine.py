@@ -40,6 +40,37 @@ def test_step_runs_and_loss_finite(method_name):
     assert int(state.step) == 1
 
 
+def test_cps_stacked_matches_separate_one_step():
+    """`method.cps_impl: stacked` (vmapped dual nets -> one
+    batch_group_count=2 conv per layer) is a pure execution-layout change:
+    one full train step from identical init must produce the same losses
+    and parameters as the `separate` two-forward formulation (tolerance =
+    f32 conv reduction-order noise)."""
+    results = {}
+    for impl in ("stacked", "separate"):
+        cfg = tiny_cfg("cps", crop=32, **{"method.cps_impl": impl})
+        model = build_model(cfg)
+        method = get_method("cps")
+        state = method.init_state(cfg, model, jax.random.key(0), total_steps=50)
+        step = jax.jit(method.make_train_step(cfg, model, total_steps=50))
+        lab = synthetic_batch(4, 32, seed=0, labeled=True)
+        unlab = synthetic_batch(4, 32, seed=1, labeled=False)
+        state, metrics = step(state, lab, unlab)
+        results[impl] = (state, metrics)
+    for k in ("loss", "sup_loss", "cps_loss"):
+        np.testing.assert_allclose(
+            float(results["stacked"][1][k]),
+            float(results["separate"][1][k]),
+            rtol=1e-5,
+            err_msg=k,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
+        results["stacked"][0].params,
+        results["separate"][0].params,
+    )
+
+
 def test_supervised_loss_decreases():
     """On the learnable blob dataset the CE loss must fall markedly."""
     from semi_supervised_semantic_segmentation_tpu.data.datasets import SyntheticDataset
