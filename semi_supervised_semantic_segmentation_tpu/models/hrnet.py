@@ -178,6 +178,12 @@ class HRNet(nn.Module):
     # 'conv' | 's2d': formulation of the stride-2 fuse-down/transition convs
     # (see HRModule.fuse_s2d).
     fuse_impl: str = "conv"
+    # Optional per-stage branch-width override (default () = (w,2w,4w,8w)).
+    # Perf experiment surface: widths below 128 pad to 128 lanes in every
+    # conv operand anyway, and the compact-vs-padded layout mismatch is what
+    # drives config-5's transpose-copy tax (BASELINE.md) — padding widths
+    # explicitly trades elementwise/HBM volume for zero relayouts.
+    branch_widths: Tuple[int, ...] = ()
     # Optional Mesh with a >1 'model' axis: the two full/half-resolution
     # stem convs (the largest activations at 1024^2) run H-sharded with halo
     # exchange (models/layers.py::SpatialConv); activations re-replicate
@@ -187,7 +193,7 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         w = self.width
-        widths = (w, 2 * w, 4 * w, 8 * w)
+        widths = self.branch_widths or (w, 2 * w, 4 * w, 8 * w)
         kw = dict(norm=self.norm, bn_momentum=self.bn_momentum, dtype=self.dtype)
         branch_scope = self.remat_scope == "branch_blocks"
         fuse_s2d = self.fuse_impl == "s2d"
