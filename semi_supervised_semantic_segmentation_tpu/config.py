@@ -84,6 +84,9 @@ class ModelConfig:
     stem_impl: str = "conv"
     # HRNet stride-2 fuse-down/transition convs: 'conv' | 's2d'
     fuse_impl: str = "conv"
+    # HRNet branch BasicBlock convs: 'xla' | 'pallas' (layout-pinned NCHW
+    # kernel for the C<=128 branches, exact same math/params — BASELINE.md)
+    branch_conv: str = "xla"
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
@@ -306,6 +309,7 @@ _VALID = {
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
     "model.stem_impl": {"conv", "s2d"},
     "model.fuse_impl": {"conv", "s2d"},
+    "model.branch_conv": {"xla", "pallas"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
     "method.sup_loss": {"ce", "ohem"},
     "method.cps_impl": {"stacked", "separate"},
@@ -357,6 +361,11 @@ def validate(cfg: Config) -> None:
                 f"model.remat={r!r} is an HRNet-only plan; use 'blocks' or "
                 f"'none' with backbone={cfg.model.backbone!r}"
             )
+    if cfg.model.branch_conv == "pallas" and cfg.model.backbone != "hrnet_w48":
+        raise ValueError(
+            "model.branch_conv=pallas is the HRNet branch-chain conv path; "
+            f"it has no effect with backbone={cfg.model.backbone!r}"
+        )
     # Multi-scale TTA + resize-eval degenerate together: whole_logits resizes
     # every scaled view back to eval_size^2 before the forward, so all scales
     # become near-duplicate forwards (only resampling noise differs).

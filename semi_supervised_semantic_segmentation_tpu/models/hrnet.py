@@ -50,6 +50,12 @@ class HRModule(nn.Module):
     # small-channel stride-2 convs; the explicit form is one reshape and a
     # lane-filling 4*Cin-channel conv.  Exact same math and param layout.
     fuse_s2d: bool = False
+    # 'xla' | 'pallas': conv path for the branch BasicBlock chains.  'pallas'
+    # runs eligible branches (C <= 128, H % 32 == 0) in NCHW through the
+    # layout-pinned kernel (ops/pallas_conv.py) — one transpose in/out per
+    # 4-block chain, zero relayouts inside.  Exact same math and param tree;
+    # ineligible branches/shapes keep the NHWC XLA path.
+    branch_conv: str = "xla"
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False):
@@ -62,15 +68,25 @@ class HRModule(nn.Module):
         ys = []
         for i, c in enumerate(self.channels):
             x = xs[i]
+            nchw = (
+                self.branch_conv == "pallas" and c <= 128
+                and x.shape[1] % 32 == 0
+            )
+            if nchw:
+                x = jnp.transpose(x, (0, 3, 1, 2))
+            ch_axis = 1 if nchw else -1
             for b in range(self.num_blocks):
                 x = block_cls(
                     planes=c,
-                    downsample=(b == 0 and x.shape[-1] != c),
+                    downsample=(b == 0 and x.shape[ch_axis] != c),
                     norm=self.norm,
                     bn_momentum=self.bn_momentum,
                     dtype=self.dtype,
+                    data_format="NCHW" if nchw else "NHWC",
                     name=f"branch{i}_block{b}",
                 )(x, train)
+            if nchw:
+                x = jnp.transpose(x, (0, 2, 3, 1))
             ys.append(x)
 
         outs = []
@@ -178,6 +194,8 @@ class HRNet(nn.Module):
     # 'conv' | 's2d': formulation of the stride-2 fuse-down/transition convs
     # (see HRModule.fuse_s2d).
     fuse_impl: str = "conv"
+    # 'xla' | 'pallas': branch BasicBlock conv path (see HRModule).
+    branch_conv: str = "xla"
     # Optional per-stage branch-width override (default () = (w,2w,4w,8w)).
     # Perf experiment surface: widths below 128 pad to 128 lanes in every
     # conv operand anyway, and the compact-vs-padded layout mismatch is what
@@ -199,15 +217,15 @@ class HRNet(nn.Module):
         fuse_s2d = self.fuse_impl == "s2d"
 
         # nn.remat over list-of-arrays args: train (argnum 2) stays static.
+        mod_kw = dict(fuse_s2d=fuse_s2d, branch_conv=self.branch_conv)
+
         def module_for(stage: int):
             if stage not in self.remat_stages:
-                return functools.partial(HRModule, fuse_s2d=fuse_s2d)
+                return functools.partial(HRModule, **mod_kw)
             if branch_scope:
-                return functools.partial(
-                    HRModule, remat_blocks=True, fuse_s2d=fuse_s2d
-                )
+                return functools.partial(HRModule, remat_blocks=True, **mod_kw)
             return functools.partial(
-                nn.remat(HRModule, static_argnums=(2,)), fuse_s2d=fuse_s2d
+                nn.remat(HRModule, static_argnums=(2,)), **mod_kw
             )
 
         x = ConvNormAct(

@@ -42,10 +42,15 @@ class TorchBatchNorm(nn.Module):
     momentum: float = 0.9  # ra = momentum * ra + (1 - momentum) * batch
     epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Feature axis: -1 for NHWC (default), 1 for the NCHW branch chains
+    # (models/hrnet.py layout-pinned pallas path).  Param shapes/paths are
+    # axis-independent, so checkpoints are unaffected.
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        feat = x.shape[-1]
+        axis = self.axis % x.ndim
+        feat = x.shape[axis]
         scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
         ra_mean = self.variable(
@@ -54,11 +59,11 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
         )
+        axes = tuple(a for a in range(x.ndim) if a != axis)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             mean2 = jnp.mean(jnp.square(xf), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
@@ -72,6 +77,8 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        bshape = tuple(feat if a == axis else 1 for a in range(x.ndim))
+        mul, add = mul.reshape(bshape), add.reshape(bshape)
         return x * mul.astype(self.dtype) + add.astype(self.dtype)
 
 
@@ -81,6 +88,7 @@ class Norm(nn.Module):
     kind: str = "batchnorm"
     momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,9 +99,11 @@ class Norm(nn.Module):
                 momentum=self.momentum,
                 epsilon=1e-5,
                 dtype=self.dtype,
+                axis=self.axis,
                 name="BatchNorm_0",
             )(x, use_running_average=not train)
         if self.kind == "groupnorm":
+            assert self.axis == -1, "groupnorm supports NHWC only"
             groups = min(32, x.shape[-1])
             return nn.GroupNorm(
                 num_groups=groups, dtype=self.dtype, param_dtype=jnp.float32
@@ -152,6 +162,44 @@ class SpatialConv(nn.Module):
         )(x.astype(self.dtype), w.astype(self.dtype))
 
 
+class PallasConv3x3(nn.Module):
+    """Stride-1 SAME 3x3 conv on NCHW activations via the layout-pinned
+    Pallas kernel (ops/pallas_conv.py) — HRNet's narrow-branch conv path.
+
+    The param keeps the nn.Conv layout (``kernel`` [3, 3, Cin, Cout], f32)
+    so checkpoints and torch-weight imports are unchanged; callers name this
+    module 'Conv_0' for the same reason.  Shapes the kernel doesn't support
+    (H not a multiple of 32 — e.g. tiny test crops) and CPU runs fall back
+    to the numerically identical ``lax.conv_general_dilated`` NCHW path
+    (the pallas kernel is bit-exact vs that reference; see
+    tests/test_pallas_conv.py).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from semi_supervised_semantic_segmentation_tpu.ops import pallas_conv
+
+        cin = x.shape[1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        on_cpu = jax.default_backend() == "cpu"
+        usable = pallas_conv.supported(x.shape, cin, self.features)
+        if self.is_initializing() or not usable:
+            return jax.lax.conv_general_dilated(
+                x, k.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            )
+        return pallas_conv.conv3x3_nchw(x, k, interpret=on_cpu)
+
+
 class ConvNormAct(nn.Module):
     """Conv -> Norm -> (optional) ReLU, the workhorse block."""
 
@@ -170,9 +218,24 @@ class ConvNormAct(nn.Module):
     # When set (a jax.sharding.Mesh with a >1 'model' axis), stride-2 convs
     # run H-sharded under shard_map with halo exchange (SpatialConv).
     spatial_mesh: Any = None
+    # 'NHWC' (default) or 'NCHW': the layout-pinned HRNet branch path keeps
+    # activations NCHW (W in lanes) and computes the conv via PallasConv3x3.
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.data_format == "NCHW":
+            assert (
+                self.kernel == (3, 3)
+                and self.strides == (1, 1)
+                and self.dilation == (1, 1)
+                and not self.use_bias
+                and not self.s2d
+                and self.spatial_mesh is None
+            ), "NCHW path covers the stride-1 3x3 branch convs only"
+            x = PallasConv3x3(self.features, dtype=self.dtype, name="Conv_0")(x)
+            x = Norm(self.norm, self.bn_momentum, self.dtype, axis=1)(x, train)
+            return nn.relu(x) if self.act else x
         if self.spatial_mesh is not None:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
             x = SpatialConv(

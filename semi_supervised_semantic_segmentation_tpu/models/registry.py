@@ -54,6 +54,9 @@ class SegModel(nn.Module):
     stem_impl: str = "conv"
     # HRNet stride-2 fuse-down/transition conv formulation: 'conv' | 's2d'.
     fuse_impl: str = "conv"
+    # HRNet branch BasicBlock conv path: 'xla' | 'pallas' (layout-pinned
+    # NCHW kernel for the narrow branches — see ops/pallas_conv.py).
+    branch_conv: str = "xla"
     # Mesh for spatial (H) sharding of the HRNet stem (model axis > 1).
     spatial_mesh: Any = None
 
@@ -82,6 +85,7 @@ class SegModel(nn.Module):
                 remat_stages=_remat_stages(self.remat),
                 remat_scope="branch_blocks" if self.remat == "branches" else "module",
                 fuse_impl=self.fuse_impl,
+                branch_conv=self.branch_conv,
                 spatial_mesh=self.spatial_mesh,
                 name="encoder",
             )(x, train)
@@ -148,5 +152,6 @@ def build_model(cfg: Config, mesh: Any = None) -> SegModel:
         remat=cfg.model.remat if cfg.model.remat != "none" else "",
         stem_impl=cfg.model.stem_impl,
         fuse_impl=cfg.model.fuse_impl,
+        branch_conv=cfg.model.branch_conv,
         spatial_mesh=spatial_mesh,
     )

@@ -34,9 +34,15 @@ class BasicBlock(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    # 'NCHW' runs both 3x3 convs through the layout-pinned pallas path
+    # (HRNet branch chains; stride/dilation must be 1, no downsample).
+    # Param tree is identical either way.
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.data_format == "NCHW":
+            assert self.stride == 1 and self.dilation == 1 and not self.downsample
         identity = x
         out = ConvNormAct(
             self.planes,
@@ -46,6 +52,7 @@ class BasicBlock(nn.Module):
             norm=self.norm,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
+            data_format=self.data_format,
             name="conv1",
         )(x, train)
         out = ConvNormAct(
@@ -56,6 +63,7 @@ class BasicBlock(nn.Module):
             norm=self.norm,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
+            data_format=self.data_format,
             name="conv2",
         )(out, train)
         if self.downsample:

@@ -1,0 +1,130 @@
+"""Layout-pinned pallas branch conv (ops/pallas_conv.py) — correctness.
+
+The kernel targets HRNet's narrow-branch 3x3 convs (BASELINE.md config-5
+ledger: XLA runs them at ~9% MXU, the kernel at 1.5x).  These tests pin:
+  - op-level bit-exactness vs lax.conv_general_dilated (fwd, dx, dk) in
+    interpret mode (the CPU path the model uses in tests);
+  - HRModule equality: branch_conv='pallas' == 'xla' to bf16 tolerance,
+    with an IDENTICAL parameter tree (checkpoint compatibility).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRModule
+from semi_supervised_semantic_segmentation_tpu.ops.pallas_conv import (
+    conv3x3_nchw,
+    supported,
+)
+
+
+def _ref(x, k):
+    return lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+
+
+@pytest.mark.parametrize("shape,c", [((2, 8, 64, 16), 8), ((1, 48, 32, 128), 48)])
+def test_conv3x3_nchw_matches_lax_conv(shape, c):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.1
+    assert supported(shape, c, c)
+    got = conv3x3_nchw(x, k, interpret=True)
+    ref = _ref(x, k)
+    assert got.dtype == ref.dtype
+    # Up to 1-ulp bf16 differences from f32 partial-sum accumulation order
+    # (observed: <=0.01% of elements at C=48, rel <=5e-3).
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_conv3x3_nchw_grads_match():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 64, 16).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32)) * 0.1
+
+    def loss_p(x, k):
+        return jnp.sum(conv3x3_nchw(x, k, True).astype(jnp.float32) ** 2)
+
+    def loss_r(x, k):
+        return jnp.sum(_ref(x, k).astype(jnp.float32) ** 2)
+
+    gx_p, gk_p = jax.grad(loss_p, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_r, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p, np.float32),
+                               np.asarray(gx_r, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_unsupported_shapes_are_gated():
+    # H not a multiple of 32 (tiny eval crops) and C > 128 fall back.
+    assert not supported((2, 8, 48, 16), 8, 8)
+    assert not supported((2, 192, 64, 16), 192, 192)
+    assert not supported((2, 8, 64, 16), 8, 16)  # C_in != C_out
+
+
+def _run_module(branch_conv, xs, train):
+    mod = HRModule(channels=(8, 16), num_blocks=2, branch_conv=branch_conv)
+    variables = mod.init(jax.random.PRNGKey(0), xs, train)
+    outs, _ = mod.apply(variables, xs, train, mutable=["batch_stats"])
+    return variables, outs
+
+
+def test_hrmodule_pallas_equals_xla():
+    """Same params, same outputs, same grads for both conv paths."""
+    rng = np.random.RandomState(2)
+    xs = [
+        jnp.asarray(rng.randn(2, 64, 16, 8).astype(np.float32), jnp.bfloat16),
+        jnp.asarray(rng.randn(2, 32, 8, 16).astype(np.float32), jnp.bfloat16),
+    ]
+    var_x, out_x = _run_module("xla", xs, True)
+    var_p, out_p = _run_module("pallas", xs, True)
+
+    # Identical parameter tree (paths + shapes) -> checkpoint compatible.
+    sx = jax.tree.map(lambda a: (a.shape, str(a.dtype)), var_x)
+    sp = jax.tree.map(lambda a: (a.shape, str(a.dtype)), var_p)
+    assert sx == sp
+
+    mod_p = HRModule(channels=(8, 16), num_blocks=2, branch_conv="pallas")
+
+    def loss(params):
+        outs, _ = mod_p.apply(
+            {"params": params, "batch_stats": var_x["batch_stats"]},
+            xs, True, mutable=["batch_stats"])
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    mod_r = HRModule(channels=(8, 16), num_blocks=2, branch_conv="xla")
+
+    def loss_ref(params):
+        outs, _ = mod_r.apply(
+            {"params": params, "batch_stats": var_x["batch_stats"]},
+            xs, True, mutable=["batch_stats"])
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    # Shared params: use the xla-init'd ones for both paths.
+    outs_p, _ = mod_p.apply(var_x, xs, True, mutable=["batch_stats"])
+    for a, b in zip(outs_p, out_x):
+        err = np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+        scale = np.max(np.abs(np.asarray(b, np.float32))) + 1e-6
+        assert err / scale < 0.05, f"fwd mismatch: rel {err / scale}"
+
+    gp = jax.grad(loss)(var_x["params"])
+    gr = jax.grad(loss_ref)(var_x["params"])
+    fp = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(gp)}
+    fr = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(gr)}
+    assert fp.keys() == fr.keys()
+    for key in fp:
+        a, b = fp[key], fr[key]
+        err = np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+        scale = np.max(np.abs(np.asarray(b, np.float32))) + 1e-6
+        assert err / scale < 0.05, f"grad mismatch at {key}: rel {err / scale}"
