@@ -37,8 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BH = 32        # output rows per grid step
-HALO = 1
-FETCH = BH + 8  # DMA window rows: 16-aligned-friendly, holds BH + 2 halo rows
+FETCH = BH + 2  # VMEM window rows: top halo + body + bottom halo
 SUB = 8        # row-subgroup per dot: N = SUB * W lanes
 
 
@@ -49,6 +48,11 @@ def supported(shape, c_in: int, c_out: int) -> bool:
 
 
 def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
+    """Window layout: xbuf row 0 = top halo (global row i*BH - 1), rows
+    1..BH = body, row BH+1 = bottom halo.  The halo rows arrive via their
+    own 1-row DMAs instead of a materialized jnp.pad of the whole input
+    (the pads cost ~33 ms/step on config 5 — BASELINE.md); image-edge halos
+    are zero-filled at consume time."""
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
@@ -56,10 +60,45 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
     def start_dma(slot, s):
         n2 = s // nb
         i2 = lax.rem(s, nb)
+        row0 = i2 * BH
         pltpu.make_async_copy(
-            x_hbm.at[n2, :, pl.ds(i2 * BH, FETCH), :],
-            xbuf.at[slot], sem.at[slot],
+            x_hbm.at[n2, :, pl.ds(row0, BH), :],
+            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
         ).start()
+
+        @pl.when(i2 > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[n2, :, pl.ds(row0 - 1, 1), :],
+                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
+            ).start()
+
+        @pl.when(i2 < nb - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[n2, :, pl.ds(row0 + BH, 1), :],
+                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
+            ).start()
+
+    def wait_dma(slot, i2):
+        pltpu.make_async_copy(
+            x_hbm.at[0, :, pl.ds(0, BH), :],
+            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
+        ).wait()
+
+        @pl.when(i2 > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, :, pl.ds(0, 1), :],
+                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
+            ).wait()
+
+        @pl.when(i2 < nb - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, :, pl.ds(0, 1), :],
+                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
+            ).wait()
 
     @pl.when(step == 0)
     def _():
@@ -69,12 +108,19 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
     def _():
         start_dma((step + 1) % 2, step + 1)
 
-    pltpu.make_async_copy(
-        x_hbm.at[n, :, pl.ds(i * BH, FETCH), :],
-        xbuf.at[step % 2], sem.at[step % 2],
-    ).wait()
+    slot = step % 2
+    wait_dma(slot, i)
 
-    xw = xbuf[step % 2]
+    # Image-edge halo rows are not DMA'd — zero them before use.
+    @pl.when(i == 0)
+    def _():
+        xbuf[slot, :, 0:1, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+
+    @pl.when(i == nb - 1)
+    def _():
+        xbuf[slot, :, BH + 1:BH + 2, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+
+    xw = xbuf[slot]
     nsub = BH // SUB
 
     def dot(a, b):
@@ -111,8 +157,6 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
 def _conv3x3_nchw_impl(x, a, *, interpret=False):
     n, c, h, w = x.shape
     nb = h // BH
-    # H halo: 1 top + (FETCH - BH - 1) bottom so every window is in range.
-    xp = jnp.pad(x, ((0, 0), (0, 0), (HALO, FETCH - BH - HALO), (0, 0)))
     return pl.pallas_call(
         functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret),
         grid=(n, nb),
@@ -124,16 +168,143 @@ def _conv3x3_nchw_impl(x, a, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, c, FETCH, w), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(xp, a)
+    )(x, a)
 
 
 def _pack(k, dtype):
     """[3, 3, C, C] HWIO -> A [C_out, 9*C_in] with rows (dh, dw, ci)."""
     c = k.shape[2]
     return k.reshape(9 * c, c).T.astype(dtype)
+
+
+def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, sem, *, nb, c, w, interpret):
+    """Weight grad dk[(dh,dw,ci), co] = sum_pixels x_shifted * dy.
+
+    One stacked im2col dot per row-subgroup: B [9C, SUB*W] x dy [C, SUB*W]
+    contracted over pixels -> [9C, C], accumulated in VMEM across the whole
+    grid (constant out index_map).  Replaces XLA's weight-grad convolution,
+    which relaid both NCHW operands out to C-minor (~47 ms/step of copies
+    on config 5 — BASELINE.md).  x windows use the same halo-DMA scheme as
+    the forward kernel; dy needs no halo and arrives via a regular BlockSpec
+    pipeline.
+    """
+    n, i = pl.program_id(0), pl.program_id(1)
+    step = n * nb + i
+    total = pl.num_programs(0) * nb
+
+    def start_dma(slot, s):
+        n2 = s // nb
+        i2 = lax.rem(s, nb)
+        row0 = i2 * BH
+        pltpu.make_async_copy(
+            x_hbm.at[n2, :, pl.ds(row0, BH), :],
+            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
+        ).start()
+
+        @pl.when(i2 > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[n2, :, pl.ds(row0 - 1, 1), :],
+                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
+            ).start()
+
+        @pl.when(i2 < nb - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[n2, :, pl.ds(row0 + BH, 1), :],
+                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
+            ).start()
+
+    def wait_dma(slot, i2):
+        pltpu.make_async_copy(
+            x_hbm.at[0, :, pl.ds(0, BH), :],
+            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
+        ).wait()
+
+        @pl.when(i2 > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, :, pl.ds(0, 1), :],
+                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
+            ).wait()
+
+        @pl.when(i2 < nb - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, :, pl.ds(0, 1), :],
+                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
+            ).wait()
+
+    @pl.when(step == 0)
+    def _():
+        start_dma(0, 0)
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+
+    @pl.when(step + 1 < total)
+    def _():
+        start_dma((step + 1) % 2, step + 1)
+
+    slot = step % 2
+    wait_dma(slot, i)
+
+    @pl.when(i == 0)
+    def _():
+        xbuf[slot, :, 0:1, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+
+    @pl.when(i == nb - 1)
+    def _():
+        xbuf[slot, :, BH + 1:BH + 2, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+
+    xw = xbuf[slot]
+    if interpret:
+        roll = lambda v, s: jnp.roll(v, s, axis=1)  # noqa: E731
+    else:
+        roll = functools.partial(pltpu.roll, axis=1)
+    wcol = lax.broadcasted_iota(jnp.int32, (c, SUB * w), 1) % w
+
+    for s in range(BH // SUB):
+        dyb = dy_ref[0, :, s * SUB:(s + 1) * SUB, :].reshape(c, SUB * w)
+        pieces = []
+        for dh in range(3):
+            rows = xw[:, s * SUB + dh: s * SUB + dh + SUB, :]
+            rows = rows.astype(jnp.float32).reshape(c, SUB * w)
+            for dw_ in (-1, 0, 1):
+                if dw_ == -1:
+                    p = jnp.where(wcol == 0, 0.0, roll(rows, 1))
+                elif dw_ == 1:
+                    p = jnp.where(wcol == w - 1, 0.0, roll(rows, SUB * w - 1))
+                else:
+                    p = rows
+                pieces.append(p.astype(xbuf.dtype))
+        b = jnp.concatenate(pieces, axis=0)  # [9C, SUB*W]
+        dk_ref[:, :] += lax.dot_general(
+            b, dyb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _conv3x3_dw_impl(x, dy, *, interpret=False):
+    """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k)."""
+    n, c, h, w = x.shape
+    nb = h // BH
+    dk = pl.pallas_call(
+        functools.partial(_dw_kernel, nb=nb, c=c, w=w, interpret=interpret),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
+        ],
+        out_specs=pl.BlockSpec((9 * c, c), lambda nn_, ii: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((9 * c, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, FETCH, w), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(x, dy)
+    return dk.reshape(3, 3, c, c)
 
 
 @functools.lru_cache(maxsize=2)
@@ -151,14 +322,9 @@ def _conv_fn(interpret: bool):
         # dx: correlate dy with the tap-flipped, in/out-transposed kernel.
         k_bwd = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
         dx = f(dy, k_bwd)
-        # dk: XLA's weight-grad conv — contraction over N*H*W is MXU-dense.
-        _, vjp = jax.vjp(
-            lambda kk: lax.conv_general_dilated(
-                x, kk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NCHW", "HWIO", "NCHW")),
-            k,
-        )
-        (dk,) = vjp(dy)
+        # dk: the stacked-im2col weight-grad kernel (consumes both NCHW
+        # operands in their natural layout — no relayout copies).
+        dk = _conv3x3_dw_impl(x, dy, interpret=interpret)
         return dx, dk
 
     f.defvjp(fwd, bwd)
