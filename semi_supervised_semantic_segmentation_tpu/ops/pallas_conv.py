@@ -7,8 +7,8 @@ lanes pad 48->128, and XLA additionally ping-pongs activations between the
 conv's C-minor layout and a compact elementwise layout (~100-150 ms/step of
 transpose copies at 1024^2).  Measured on-chip (scripts/bench_branch_conv.py,
 scan-amortized): XLA 1.19 ms per [8,48,256,256] conv vs 0.79 ms for this
-kernel's formulation = 1.52x, at the formulation's own ceiling (the
-shift-free probe times the same).
+kernel's formulation standalone (0.54 ms in-context) = 1.5-2.2x, at the
+formulation's own ceiling (the shift-free probe times the same).
 
 Formulation ("outshift"): activations stay NCHW — W in lanes (dense for any
 W), H in sublanes, so elementwise ops and this kernel share one layout and
@@ -18,8 +18,17 @@ applied by rolling the f32 partial OUTPUTS once per dw — 2 rolls + masks per
 block instead of 6 input shifts), with the C-wide output channel dim in the
 M (streaming) dimension of the MXU and rows*W >= 1024 dense lanes in N.
 
+Windowing: each grid step consumes BH output rows.  The 1-row conv halo
+arrives via dedicated 1-row DMAs into aligned side-buffers (Mosaic requires
+DMA destinations tile-aligned in the sublane dim) and is placed next to the
+aligned body rows by VPU writes — no materialized jnp.pad of the input
+(those pads cost ~33 ms/step on the config-5 trace).
+
 Backward: dx is the same kernel with the tap-flipped, io-transposed weights;
-dk is XLA's conv weight-grad (contraction over N*H*W pixels — MXU-dense).
+dk is a stacked-im2col kernel ([9C, P] x [C, P] contracted over pixels,
+accumulated in VMEM across the grid) — it consumes both NCHW operands in
+their natural layout, replacing XLA's weight-grad conv which relaid both
+out to C-minor (~47 ms/step of copies + C-minor contraction fusions).
 
 Constraints (checked by ``supported``): stride 1, 3x3, C_in == C_out <= 128,
 H a multiple of 32.  Callers fall back to ``lax.conv_general_dilated``
@@ -36,9 +45,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH = 32        # output rows per grid step
-FETCH = BH + 2  # VMEM window rows: top halo + body + bottom halo
-SUB = 8        # row-subgroup per dot: N = SUB * W lanes
+BH = 32      # output rows per grid step
+BODY0 = 8    # body rows start here (tile-aligned DMA destination)
+WROWS = 48   # xbuf rows: [.., 7]=spare+top halo, [8, 39]=body, [40]=bottom
+SUB = 8      # row-subgroup per dot: N = SUB * W lanes
 
 
 def supported(shape, c_in: int, c_out: int) -> bool:
@@ -47,105 +57,137 @@ def supported(shape, c_in: int, c_out: int) -> bool:
     return c_in == c_out and c_in <= 128 and h % BH == 0 and h >= BH
 
 
-def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
-    """Window layout: xbuf row 0 = top halo (global row i*BH - 1), rows
-    1..BH = body, row BH+1 = bottom halo.  The halo rows arrive via their
-    own 1-row DMAs instead of a materialized jnp.pad of the whole input
-    (the pads cost ~33 ms/step on config 5 — BASELINE.md); image-edge halos
-    are zero-filled at consume time."""
+# ---------------------------------------------------------------------------
+# shared halo-window machinery
+# ---------------------------------------------------------------------------
+
+def _win_start(x_hbm, xbuf, halo, sem, s, slot, nb):
+    """Kick off the DMAs for step ``s`` into buffer ``slot``: the BH body
+    rows to the aligned offset BODY0, and (when they exist) the 1-row
+    top/bottom halos into the aligned side-buffer."""
+    n2 = s // nb
+    i2 = lax.rem(s, nb)
+    row0 = i2 * BH
+    pltpu.make_async_copy(
+        x_hbm.at[n2, :, pl.ds(pl.multiple_of(row0, 8), BH), :],
+        xbuf.at[slot, :, pl.ds(BODY0, BH), :], sem.at[slot, 0],
+    ).start()
+
+    # Mosaic requires HBM slice sizes tile-aligned in the sublane dim too,
+    # so the halos transfer 8 rows each; the fill picks the one needed.
+    # (multiple_of: the i2*BH±8 provenance is lost through lax.rem.)
+    @pl.when(i2 > 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[n2, :, pl.ds(pl.multiple_of(row0 - 8, 8), 8), :],
+            halo.at[slot, 0], sem.at[slot, 1],
+        ).start()
+
+    @pl.when(i2 < nb - 1)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[n2, :, pl.ds(pl.multiple_of(row0 + BH, 8), 8), :],
+            halo.at[slot, 1], sem.at[slot, 2],
+        ).start()
+
+
+def _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i2, nb, c, w):
+    """Wait for step DMAs, then place halo rows (or image-edge zeros) next
+    to the body with VPU writes: top at BODY0-1, bottom at BODY0+BH."""
+    pltpu.make_async_copy(
+        x_hbm.at[0, :, pl.ds(0, BH), :],
+        xbuf.at[slot, :, pl.ds(BODY0, BH), :], sem.at[slot, 0],
+    ).wait()
+
+    @pl.when(i2 > 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[0, :, pl.ds(0, 8), :],
+            halo.at[slot, 0], sem.at[slot, 1],
+        ).wait()
+        xbuf[slot, :, BODY0 - 1:BODY0, :] = halo[slot, 0, :, 7:8, :]
+
+    @pl.when(i2 == 0)
+    def _():
+        xbuf[slot, :, BODY0 - 1:BODY0, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+
+    @pl.when(i2 < nb - 1)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[0, :, pl.ds(0, 8), :],
+            halo.at[slot, 1], sem.at[slot, 2],
+        ).wait()
+        xbuf[slot, :, BODY0 + BH:BODY0 + BH + 1, :] = halo[slot, 1, :, 0:1, :]
+
+    @pl.when(i2 == nb - 1)
+    def _():
+        xbuf[slot, :, BODY0 + BH:BODY0 + BH + 1, :] = jnp.zeros(
+            (c, 1, w), xbuf.dtype)
+
+
+def _roll_fn(interpret):
+    # Mosaic's roll lowering requires 32-bit data (f32 here); jnp.roll is
+    # the interpret-mode equivalent.
+    if interpret:
+        return lambda v, s: jnp.roll(v, s, axis=1)
+    return functools.partial(pltpu.roll, axis=1)
+
+
+def _win_scratch(c, w, dtype):
+    return [
+        pltpu.VMEM((2, c, WROWS, w), dtype),
+        pltpu.VMEM((2, 2, c, 8, w), dtype),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel (also computes dx with flipped/transposed weights)
+# ---------------------------------------------------------------------------
+
+def _kernel(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w, interpret,
+            sub=SUB, s_inner=True):
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
 
-    def start_dma(slot, s):
-        n2 = s // nb
-        i2 = lax.rem(s, nb)
-        row0 = i2 * BH
-        pltpu.make_async_copy(
-            x_hbm.at[n2, :, pl.ds(row0, BH), :],
-            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
-        ).start()
-
-        @pl.when(i2 > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n2, :, pl.ds(row0 - 1, 1), :],
-                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
-            ).start()
-
-        @pl.when(i2 < nb - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n2, :, pl.ds(row0 + BH, 1), :],
-                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
-            ).start()
-
-    def wait_dma(slot, i2):
-        pltpu.make_async_copy(
-            x_hbm.at[0, :, pl.ds(0, BH), :],
-            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
-        ).wait()
-
-        @pl.when(i2 > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, :, pl.ds(0, 1), :],
-                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
-            ).wait()
-
-        @pl.when(i2 < nb - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, :, pl.ds(0, 1), :],
-                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
-            ).wait()
-
     @pl.when(step == 0)
     def _():
-        start_dma(0, 0)
+        _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
 
     @pl.when(step + 1 < total)
     def _():
-        start_dma((step + 1) % 2, step + 1)
+        _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
 
     slot = step % 2
-    wait_dma(slot, i)
-
-    # Image-edge halo rows are not DMA'd — zero them before use.
-    @pl.when(i == 0)
-    def _():
-        xbuf[slot, :, 0:1, :] = jnp.zeros((c, 1, w), xbuf.dtype)
-
-    @pl.when(i == nb - 1)
-    def _():
-        xbuf[slot, :, BH + 1:BH + 2, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
 
     xw = xbuf[slot]
-    nsub = BH // SUB
+    nsub = BH // sub
+    base = BODY0 - 1  # window row of (first output row - 1)
 
     def dot(a, b):
         return lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    # Mosaic's roll lowering requires 32-bit data (f32 here); jnp.roll is
-    # the interpret-mode equivalent.
-    if interpret:
-        roll = lambda v, s: jnp.roll(v, s, axis=1)  # noqa: E731
-    else:
-        roll = functools.partial(pltpu.roll, axis=1)
-
+    roll = _roll_fn(interpret)
     wcol = lax.broadcasted_iota(jnp.int32, (c, BH * w), 1) % w
     tmp = []
     for dw in range(3):
-        parts = []
-        for s in range(nsub):
-            part = jnp.zeros((c, SUB * w), jnp.float32)
-            for dh in range(3):
-                rows = xw[:, s * SUB + dh: s * SUB + dh + SUB, :]
-                part += dot(a_ref[:, (3 * dh + dw) * c:(3 * dh + dw + 1) * c],
-                            rows.reshape(c, SUB * w))
-            parts.append(part)
+        parts = [jnp.zeros((c, sub * w), jnp.float32) for _ in range(nsub)]
+        # s_inner keeps one A slice stationary across the row-subgroups
+        # (fewer MXU weight reloads); the math is identical either way.
+        loop = (
+            [(dh, s) for dh in range(3) for s in range(nsub)]
+            if s_inner else
+            [(dh, s) for s in range(nsub) for dh in range(3)]
+        )
+        for dh, s in loop:
+            r0 = base + s * sub + dh
+            rows = xw[:, r0:r0 + sub, :]
+            parts[s] += dot(a_ref[:, (3 * dh + dw) * c:(3 * dh + dw + 1) * c],
+                            rows.reshape(c, sub * w))
         tmp.append(jnp.concatenate(parts, axis=1))
     # y[:, wi] = tmp0[wi-1] + tmp1[wi] + tmp2[wi+1]  (taps at dw-1 in {-1,0,1})
     left = jnp.where(wcol == 0, 0.0, roll(tmp[0], 1))
@@ -154,11 +196,12 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, sem, *, nb, c, w, interpret):
     y_ref[0] = y.reshape(c, BH, w).astype(y_ref.dtype)
 
 
-def _conv3x3_nchw_impl(x, a, *, interpret=False):
+def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True):
     n, c, h, w = x.shape
     nb = h // BH
     return pl.pallas_call(
-        functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret),
+        functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret,
+                          sub=sub, s_inner=s_inner),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -166,10 +209,7 @@ def _conv3x3_nchw_impl(x, a, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, c, FETCH, w), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
     )(x, a)
 
@@ -180,96 +220,42 @@ def _pack(k, dtype):
     return k.reshape(9 * c, c).T.astype(dtype)
 
 
-def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, sem, *, nb, c, w, interpret):
-    """Weight grad dk[(dh,dw,ci), co] = sum_pixels x_shifted * dy.
+# ---------------------------------------------------------------------------
+# weight-grad kernel
+# ---------------------------------------------------------------------------
 
-    One stacked im2col dot per row-subgroup: B [9C, SUB*W] x dy [C, SUB*W]
-    contracted over pixels -> [9C, C], accumulated in VMEM across the whole
-    grid (constant out index_map).  Replaces XLA's weight-grad convolution,
-    which relaid both NCHW operands out to C-minor (~47 ms/step of copies
-    on config 5 — BASELINE.md).  x windows use the same halo-DMA scheme as
-    the forward kernel; dy needs no halo and arrives via a regular BlockSpec
-    pipeline.
-    """
+def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret):
+    """dk[(dh,dw,ci), co] = sum_pixels x_shifted * dy — one stacked im2col
+    dot per row-subgroup, accumulated in VMEM across the whole grid
+    (constant out index_map).  dy needs no halo and arrives via a regular
+    BlockSpec pipeline."""
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
 
-    def start_dma(slot, s):
-        n2 = s // nb
-        i2 = lax.rem(s, nb)
-        row0 = i2 * BH
-        pltpu.make_async_copy(
-            x_hbm.at[n2, :, pl.ds(row0, BH), :],
-            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
-        ).start()
-
-        @pl.when(i2 > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n2, :, pl.ds(row0 - 1, 1), :],
-                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
-            ).start()
-
-        @pl.when(i2 < nb - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n2, :, pl.ds(row0 + BH, 1), :],
-                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
-            ).start()
-
-    def wait_dma(slot, i2):
-        pltpu.make_async_copy(
-            x_hbm.at[0, :, pl.ds(0, BH), :],
-            xbuf.at[slot, :, pl.ds(1, BH), :], sem.at[slot, 0],
-        ).wait()
-
-        @pl.when(i2 > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, :, pl.ds(0, 1), :],
-                xbuf.at[slot, :, pl.ds(0, 1), :], sem.at[slot, 1],
-            ).wait()
-
-        @pl.when(i2 < nb - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, :, pl.ds(0, 1), :],
-                xbuf.at[slot, :, pl.ds(BH + 1, 1), :], sem.at[slot, 2],
-            ).wait()
-
     @pl.when(step == 0)
     def _():
-        start_dma(0, 0)
+        _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
         dk_ref[:] = jnp.zeros_like(dk_ref)
 
     @pl.when(step + 1 < total)
     def _():
-        start_dma((step + 1) % 2, step + 1)
+        _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
 
     slot = step % 2
-    wait_dma(slot, i)
-
-    @pl.when(i == 0)
-    def _():
-        xbuf[slot, :, 0:1, :] = jnp.zeros((c, 1, w), xbuf.dtype)
-
-    @pl.when(i == nb - 1)
-    def _():
-        xbuf[slot, :, BH + 1:BH + 2, :] = jnp.zeros((c, 1, w), xbuf.dtype)
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
 
     xw = xbuf[slot]
-    if interpret:
-        roll = lambda v, s: jnp.roll(v, s, axis=1)  # noqa: E731
-    else:
-        roll = functools.partial(pltpu.roll, axis=1)
+    base = BODY0 - 1
+    roll = _roll_fn(interpret)
     wcol = lax.broadcasted_iota(jnp.int32, (c, SUB * w), 1) % w
 
     for s in range(BH // SUB):
         dyb = dy_ref[0, :, s * SUB:(s + 1) * SUB, :].reshape(c, SUB * w)
         pieces = []
         for dh in range(3):
-            rows = xw[:, s * SUB + dh: s * SUB + dh + SUB, :]
+            r0 = base + s * SUB + dh
+            rows = xw[:, r0:r0 + SUB, :]
             rows = rows.astype(jnp.float32).reshape(c, SUB * w)
             for dw_ in (-1, 0, 1):
                 if dw_ == -1:
@@ -298,14 +284,15 @@ def _conv3x3_dw_impl(x, dy, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((9 * c, c), lambda nn_, ii: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((9 * c, c), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, c, FETCH, w), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
     )(x, dy)
     return dk.reshape(3, 3, c, c)
 
+
+# ---------------------------------------------------------------------------
+# public op with custom vjp
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=2)
 def _conv_fn(interpret: bool):
