@@ -50,11 +50,14 @@ def main():
             ("sub8 (prod)", dict(sub=8)),
             ("sub8 s_inner", dict(sub=8, s_inner=True)),
             ("sub16", dict(sub=16)),
-            ("sub16 s_inner", dict(sub=16, s_inner=True)),
             ("sub32", dict(sub=32)),
+            ("kstack sub8", dict(sub=8, variant="kstack")),
+            ("kstack sub16", dict(sub=16, variant="kstack")),
+            ("kstack sub32", dict(sub=32, variant="kstack")),
         ]:
-            a = pc._pack(k, x.dtype)
-            fn = lambda xx, kw=kw: pc._conv3x3_nchw_impl(xx, a, **kw)
+            pack = pc._pack_kstack if kw.get("variant") == "kstack" else pc._pack
+            a = pack(k, x.dtype)
+            fn = lambda xx, kw=kw, a=a: pc._conv3x3_nchw_impl(xx, a, **kw)
             y = jax.jit(fn)(x)
             if ref is None:
                 ref = y
@@ -69,24 +72,30 @@ def main():
         # fori over the same operands inside one jit instead).
         dy = jnp.asarray(rng.randn(*shape).astype(np.float32), jnp.bfloat16)
 
-        def dw_many(x0, dy0):
-            # roll the dy carry so the call isn't loop-invariant (XLA would
-            # hoist a pure custom call whose operands never change).
-            def body(cdy, _):
-                dk = pc._conv3x3_dw_impl(x0, cdy)
-                return jnp.roll(cdy, 1, axis=0), dk[0, 0, 0, 0]
-            return jnp.sum(lax.scan(body, dy0, None, length=REPEAT)[1])
+        for label, kw in [
+            ("dw (prod)", dict()),
+            ("dw dyroll sub8", dict(variant="dyroll", sub=8)),
+            ("dw dyroll sub16", dict(variant="dyroll", sub=16)),
+            ("dw dyroll sub32", dict(variant="dyroll", sub=32)),
+        ]:
+            def dw_many(x0, dy0, kw=kw):
+                # roll the dy carry so the call isn't loop-invariant (XLA
+                # would hoist a pure custom call with unchanging operands).
+                def body(cdy, _):
+                    dk = pc._conv3x3_dw_impl(x0, cdy, **kw)
+                    return jnp.roll(cdy, 1, axis=0), dk[0, 0, 0, 0]
+                return jnp.sum(lax.scan(body, dy0, None, length=REPEAT)[1])
 
-        f = jax.jit(dw_many)
-        float(f(x, dy))
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out = f(x, dy)
-        float(out)
-        dt = (time.perf_counter() - t0) / (4 * REPEAT)
-        flops = 2 * n * h * w * c * c * 9
-        print(f"  {'dw kernel':24s} {dt*1e3:7.3f} ms  "
-              f"({100*flops/dt/197e12:4.1f}% MXU)", flush=True)
+            f = jax.jit(dw_many)
+            float(f(x, dy))
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out = f(x, dy)
+            float(out)
+            dt = (time.perf_counter() - t0) / (4 * REPEAT)
+            flops = 2 * n * h * w * c * c * 9
+            print(f"  {label:24s} {dt*1e3:7.3f} ms  "
+                  f"({100*flops/dt/197e12:4.1f}% MXU)", flush=True)
 
 
 if __name__ == "__main__":

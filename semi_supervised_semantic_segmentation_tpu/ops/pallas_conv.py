@@ -196,12 +196,69 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w, interpret,
     y_ref[0] = y.reshape(c, BH, w).astype(y_ref.dtype)
 
 
-def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True):
+def _kernel_kstack(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w,
+                   interpret, sub=BH):
+    """K-stacked variant of ``_kernel``: for each dw tap, ONE dot
+    [C, 3C] x [3C, sub*W] against a dh-stacked row buffer (the three dh row
+    windows concatenated along the contraction dim).  3 dots of K=3C per
+    row-subgroup instead of 9 of K=C — at C=48 the contraction lanes fill
+    144/256 instead of 48/128 per pass and the MXU issues 3x fewer dots
+    (pipeline-fill amortization).  Output dw rolls identical to ``_kernel``.
+    ``a_ref`` must be packed by ``_pack_kstack`` ((dw, dh, ci) column order).
+    """
+    n, i = pl.program_id(0), pl.program_id(1)
+    step = n * nb + i
+    total = pl.num_programs(0) * nb
+
+    @pl.when(step == 0)
+    def _():
+        _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
+
+    @pl.when(step + 1 < total)
+    def _():
+        _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
+
+    slot = step % 2
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
+
+    xw = xbuf[slot]
+    nsub = BH // sub
+    base = BODY0 - 1
+
+    def dot(a, b):
+        return lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    roll = _roll_fn(interpret)
+    wcol = lax.broadcasted_iota(jnp.int32, (c, BH * w), 1) % w
+    parts = [[None] * nsub for _ in range(3)]
+    for s in range(nsub):
+        r0 = base + s * sub
+        b3 = jnp.concatenate(
+            [xw[:, r0 + dh:r0 + dh + sub, :].reshape(c, sub * w)
+             for dh in range(3)], axis=0)
+        for dw in range(3):
+            parts[dw][s] = dot(a_ref[:, 3 * dw * c:3 * (dw + 1) * c], b3)
+    tmp = [jnp.concatenate(p, axis=1) if nsub > 1 else p[0] for p in parts]
+    left = jnp.where(wcol == 0, 0.0, roll(tmp[0], 1))
+    right = jnp.where(wcol == w - 1, 0.0, roll(tmp[2], BH * w - 1))
+    y = tmp[1] + left + right
+    y_ref[0] = y.reshape(c, BH, w).astype(y_ref.dtype)
+
+
+def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
+                       variant="outshift"):
     n, c, h, w = x.shape
     nb = h // BH
+    if variant == "kstack":
+        kern = functools.partial(_kernel_kstack, nb=nb, c=c, w=w,
+                                 interpret=interpret, sub=sub)
+    else:
+        kern = functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret,
+                                 sub=sub, s_inner=s_inner)
     return pl.pallas_call(
-        functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret,
-                          sub=sub, s_inner=s_inner),
+        kern,
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -220,15 +277,29 @@ def _pack(k, dtype):
     return k.reshape(9 * c, c).T.astype(dtype)
 
 
+def _pack_kstack(k, dtype):
+    """[3, 3, C, C] HWIO -> A [C_out, 9*C_in] with rows (dw, dh, ci), so the
+    per-dw [C, 3C] slices of ``_kernel_kstack`` are contiguous columns."""
+    c = k.shape[2]
+    return jnp.transpose(k, (1, 0, 2, 3)).reshape(9 * c, c).T.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # weight-grad kernel
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret):
+def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret,
+               swap=False, sub=SUB):
     """dk[(dh,dw,ci), co] = sum_pixels x_shifted * dy — one stacked im2col
     dot per row-subgroup, accumulated in VMEM across the whole grid
     (constant out index_map).  dy needs no halo and arrives via a regular
-    BlockSpec pipeline."""
+    BlockSpec pipeline.
+
+    ``swap=True`` computes the transposed product dk[co, (dh,dw,ci)] =
+    dy x b^T instead: the 9C-wide operand moves from the M (streaming) dim
+    to the output-lane dim, so each MXU pass fills 9C/(pad(9C)) of its
+    output lanes instead of C/128 (C=48: 84% vs 37.5%) and streams only C
+    rows instead of 9C."""
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
@@ -248,45 +319,116 @@ def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret):
     xw = xbuf[slot]
     base = BODY0 - 1
     roll = _roll_fn(interpret)
-    wcol = lax.broadcasted_iota(jnp.int32, (c, SUB * w), 1) % w
+    wcol = lax.broadcasted_iota(jnp.int32, (c, sub * w), 1) % w
 
-    for s in range(BH // SUB):
-        dyb = dy_ref[0, :, s * SUB:(s + 1) * SUB, :].reshape(c, SUB * w)
+    for s in range(BH // sub):
+        dyb = dy_ref[0, :, s * sub:(s + 1) * sub, :].reshape(c, sub * w)
         pieces = []
         for dh in range(3):
-            r0 = base + s * SUB + dh
-            rows = xw[:, r0:r0 + SUB, :]
-            rows = rows.astype(jnp.float32).reshape(c, SUB * w)
+            r0 = base + s * sub + dh
+            rows = xw[:, r0:r0 + sub, :]
+            rows = rows.astype(jnp.float32).reshape(c, sub * w)
             for dw_ in (-1, 0, 1):
                 if dw_ == -1:
                     p = jnp.where(wcol == 0, 0.0, roll(rows, 1))
                 elif dw_ == 1:
-                    p = jnp.where(wcol == w - 1, 0.0, roll(rows, SUB * w - 1))
+                    p = jnp.where(wcol == w - 1, 0.0, roll(rows, sub * w - 1))
                 else:
                     p = rows
                 pieces.append(p.astype(xbuf.dtype))
-        b = jnp.concatenate(pieces, axis=0)  # [9C, SUB*W]
-        dk_ref[:, :] += lax.dot_general(
-            b, dyb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        b = jnp.concatenate(pieces, axis=0)  # [9C, sub*W]
+        if swap:
+            dk_ref[:, :] += lax.dot_general(
+                dyb, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dk_ref[:, :] += lax.dot_general(
+                b, dyb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
-def _conv3x3_dw_impl(x, dy, *, interpret=False):
+def _dw_kernel_dyroll(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w,
+                      interpret, sub=SUB):
+    """dk[co, (dw, dh, ci)] accumulated as dy_rolled x x3^T.
+
+    Identity: sum_w x[ci, w+dw-1] dy[co, w] = sum_w x[ci, w] dy[co, w-dw+1]
+    (wrapped lanes masked) — so the W-offset taps roll DY, not the im2col
+    rows: 2 f32 rolls + masks per BLOCK (on the flat [C, BH*W] dy, where
+    cross-row wraps land exactly on the masked w=0/W-1 lanes) instead of 6
+    per row-subgroup on x.  The x side is a pure dh row-stack (3 bf16
+    row-slice copies, no casts), and the dot streams M=C rows with N=3C
+    output lanes per dw — both the VPU and MXU work drop vs ``_dw_kernel``.
+    """
+    n, i = pl.program_id(0), pl.program_id(1)
+    step = n * nb + i
+    total = pl.num_programs(0) * nb
+
+    @pl.when(step == 0)
+    def _():
+        _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+
+    @pl.when(step + 1 < total)
+    def _():
+        _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
+
+    slot = step % 2
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
+
+    xw = xbuf[slot]
+    base = BODY0 - 1
+    roll = _roll_fn(interpret)
+    wcol = lax.broadcasted_iota(jnp.int32, (c, BH * w), 1) % w
+
+    dyf = dy_ref[0].reshape(c, BH * w).astype(jnp.float32)
+    # dw=0 tap pairs x[w-1] with dy[w] -> roll dy LEFT by 1 (dy[w+1] lands
+    # at w)... careful: sum_w x[w] dy[w - (dw-1)]; dw=0 -> dy[w+1].
+    dyv = [
+        jnp.where(wcol == w - 1, 0.0, roll(dyf, BH * w - 1)).astype(xbuf.dtype),
+        dyf.astype(xbuf.dtype),
+        jnp.where(wcol == 0, 0.0, roll(dyf, 1)).astype(xbuf.dtype),
+    ]
+    for s in range(BH // sub):
+        r0 = base + s * sub
+        x3 = jnp.concatenate(
+            [xw[:, r0 + dh:r0 + dh + sub, :].reshape(c, sub * w)
+             for dh in range(3)], axis=0)
+        for dw_ in range(3):
+            dk_ref[:, 3 * dw_ * c:3 * (dw_ + 1) * c] += lax.dot_general(
+                dyv[dw_][:, s * sub * w:(s + 1) * sub * w], x3,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
+                     variant="stack"):
     """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k)."""
     n, c, h, w = x.shape
     nb = h // BH
+    if variant == "dyroll":
+        kern = functools.partial(_dw_kernel_dyroll, nb=nb, c=c, w=w,
+                                 interpret=interpret, sub=sub)
+        out_shape = (c, 9 * c)
+    else:
+        kern = functools.partial(_dw_kernel, nb=nb, c=c, w=w,
+                                 interpret=interpret, swap=swap, sub=sub)
+        out_shape = (c, 9 * c) if swap else (9 * c, c)
     dk = pl.pallas_call(
-        functools.partial(_dw_kernel, nb=nb, c=c, w=w, interpret=interpret),
+        kern,
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
         ],
-        out_specs=pl.BlockSpec((9 * c, c), lambda nn_, ii: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((9 * c, c), jnp.float32),
+        out_specs=pl.BlockSpec(out_shape, lambda nn_, ii: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
     )(x, dy)
+    if variant == "dyroll":
+        # columns are (dw, dh, ci); want [dh, dw, ci, co].
+        return jnp.transpose(dk.reshape(c, 3, 3, c), (2, 1, 3, 0))
+    if swap:
+        return jnp.transpose(dk.reshape(c, 3, 3, c), (1, 2, 3, 0))
     return dk.reshape(3, 3, c, c)
 
 
@@ -294,11 +436,34 @@ def _conv3x3_dw_impl(x, dy, *, interpret=False):
 # public op with custom vjp
 # ---------------------------------------------------------------------------
 
+# Production variant choices (scripts/bench_kernel_variants.py, one v5e,
+# scan-amortized, 2026-08-17 round 3):
+#   fwd/dx: 'kstack' sub16 — 0.584 ms at [8,48,256,256] vs 0.736 outshift
+#           (1.26x), 0.422 vs 0.492 at [8,96,128,128] (1.17x): one
+#           [C,3C]x[3C,sub*W] dot per dw tap fills 144/256 contraction
+#           lanes instead of 48/128 and issues 3x fewer dots.
+#   dk:     'dyroll' — rolls dy once per block instead of 6 im2col rolls
+#           per row-subgroup: 0.756 vs 1.192 ms at [8,48,256,256] (1.58x),
+#           0.578 vs 0.744 at [8,96,128,128] (1.29x).  The best row-subgroup
+#           is shape-dependent (sub8 at W=256, sub32 at W=128 — both keep
+#           the dot's pixel dim in the 2-4k lane range without blowing VMEM).
+FWD_VARIANT = "kstack"
+FWD_SUB = 16
+DW_VARIANT = "dyroll"
+
+
+def _dw_sub(w: int) -> int:
+    return 8 if w >= 256 else 32
+
+
 @functools.lru_cache(maxsize=2)
 def _conv_fn(interpret: bool):
+    pack = _pack_kstack if FWD_VARIANT == "kstack" else _pack
+
     @jax.custom_vjp
     def f(x, k):
-        return _conv3x3_nchw_impl(x, _pack(k, x.dtype), interpret=interpret)
+        return _conv3x3_nchw_impl(x, pack(k, x.dtype), interpret=interpret,
+                                  sub=FWD_SUB, variant=FWD_VARIANT)
 
     def fwd(x, k):
         return f(x, k), (x, k)
@@ -311,7 +476,8 @@ def _conv_fn(interpret: bool):
         dx = f(dy, k_bwd)
         # dk: the stacked-im2col weight-grad kernel (consumes both NCHW
         # operands in their natural layout — no relayout copies).
-        dk = _conv3x3_dw_impl(x, dy, interpret=interpret)
+        dk = _conv3x3_dw_impl(x, dy, interpret=interpret,
+                              variant=DW_VARIANT, sub=_dw_sub(x.shape[3]))
         return dx, dk
 
     f.defvjp(fwd, bwd)
