@@ -48,9 +48,19 @@ class TorchBatchNorm(nn.Module):
     axis: int = -1
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
-        axis = self.axis % x.ndim
-        feat = x.shape[axis]
+    def __call__(self, x, use_running_average: bool = True, sums=None,
+                 count: int = 0):
+        """Normal mode (``sums=None``): normalize ``x`` and return it.
+
+        Folded mode (``sums`` = [2, C] f32 per-channel sum / sum-of-squares
+        over ``count`` elements, from the fused branch-conv kernel): compute
+        the SAME statistics from the sums, update running stats identically,
+        and return the folded ``(mul, add)`` f32 [C] pair instead of
+        applying — the caller applies it (or feeds it to the next kernel's
+        in-VMEM input transform).  ``x`` is unused in folded mode.
+        """
+        feat = sums.shape[1] if sums is not None else x.shape[self.axis]
+        axis = self.axis % x.ndim if sums is None else 0
         scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
         ra_mean = self.variable(
@@ -59,24 +69,31 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
         )
-        axes = tuple(a for a in range(x.ndim) if a != axis)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            mean2 = jnp.mean(jnp.square(xf), axis=axes)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-            if not self.is_initializing():
+            if sums is not None:
+                n = count
+                mean = sums[0] / n
+                mean2 = sums[1] / n
+            else:
+                axes = tuple(a for a in range(x.ndim) if a != axis)
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=axes)
+                mean2 = jnp.mean(jnp.square(xf), axis=axes)
                 n = 1
                 for a in axes:
                     n *= x.shape[a]
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        if sums is not None:
+            return mul, add
         bshape = tuple(feat if a == axis else 1 for a in range(x.ndim))
         mul, add = mul.reshape(bshape), add.reshape(bshape)
         return x * mul.astype(self.dtype) + add.astype(self.dtype)
@@ -91,7 +108,7 @@ class Norm(nn.Module):
     axis: int = -1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sums=None, count: int = 0):
         if self.kind == "batchnorm":
             # name pinned so param paths (and checkpoints/compat exports)
             # stay identical to the flax.linen.BatchNorm it replaced.
@@ -101,7 +118,8 @@ class Norm(nn.Module):
                 dtype=self.dtype,
                 axis=self.axis,
                 name="BatchNorm_0",
-            )(x, use_running_average=not train)
+            )(x, use_running_average=not train, sums=sums, count=count)
+        assert sums is None, "folded-stats mode is batchnorm-only"
         if self.kind == "groupnorm":
             assert self.axis == -1, "groupnorm supports NHWC only"
             groups = min(32, x.shape[-1])
@@ -162,24 +180,23 @@ class SpatialConv(nn.Module):
         )(x.astype(self.dtype), w.astype(self.dtype))
 
 
-class PallasConv3x3(nn.Module):
-    """Stride-1 SAME 3x3 conv on NCHW activations via the layout-pinned
-    Pallas kernel (ops/pallas_conv.py) — HRNet's narrow-branch conv path.
-
-    The param keeps the nn.Conv layout (``kernel`` [3, 3, Cin, Cout], f32)
-    so checkpoints and torch-weight imports are unchanged; callers name this
-    module 'Conv_0' for the same reason.  Shapes the kernel doesn't support
-    (H not a multiple of 32 — e.g. tiny test crops) and CPU runs fall back
-    to the numerically identical ``lax.conv_general_dilated`` NCHW path
-    (the pallas kernel is bit-exact vs that reference; see
-    tests/test_pallas_conv.py).
-    """
+class PallasConvBN(nn.Module):
+    """Fused branch-chain conv (ops/pallas_conv.py::conv3x3_bn_nchw):
+    stride-1 SAME 3x3 conv on NCHW activations that also (a) applies the
+    PREVIOUS layer's folded BatchNorm+ReLU to its input inside VMEM when
+    ``fold`` is given (the normalized tensor never exists in HBM) and
+    (b) returns the [2, C] f32 per-channel (sum, sum-of-squares) of its
+    output — the NEXT BatchNorm's batch statistics, accumulated under the
+    MXU shadow.  Param layout identical to nn.Conv (``kernel`` [3,3,Ci,Co]
+    f32, module named 'Conv_0' by callers) so checkpoints/torch imports are
+    unchanged.  Unsupported shapes and init fall back to the numerically
+    identical XLA formulation."""
 
     features: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None):
         from semi_supervised_semantic_segmentation_tpu.ops import pallas_conv
 
         cin = x.shape[1]
@@ -193,11 +210,23 @@ class PallasConv3x3(nn.Module):
         on_cpu = jax.default_backend() == "cpu"
         usable = pallas_conv.supported(x.shape, cin, self.features)
         if self.is_initializing() or not usable:
-            return jax.lax.conv_general_dilated(
+            if fold is not None:
+                # f32 fma + relu, single rounding — same as the kernel's
+                # in-VMEM transform (conv3x3_bn_nchw).
+                mul, add = fold
+                x = nn.relu(x.astype(jnp.float32)
+                            * mul[None, :, None, None]
+                            + add[None, :, None, None]).astype(x.dtype)
+            y = jax.lax.conv_general_dilated(
                 x, k.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NCHW", "HWIO", "NCHW"),
             )
-        return pallas_conv.conv3x3_nchw(x, k, interpret=on_cpu)
+            y32 = y.astype(jnp.float32)
+            s = jnp.stack([jnp.sum(y32, axis=(0, 2, 3)),
+                           jnp.sum(jnp.square(y32), axis=(0, 2, 3))])
+            return y, s
+        mul, add = fold if fold is not None else (None, None)
+        return pallas_conv.conv3x3_bn_nchw(x, k, mul, add, interpret=on_cpu)
 
 
 class ConvNormAct(nn.Module):
@@ -219,8 +248,14 @@ class ConvNormAct(nn.Module):
     # run H-sharded under shard_map with halo exchange (SpatialConv).
     spatial_mesh: Any = None
     # 'NHWC' (default) or 'NCHW': the layout-pinned HRNet branch path keeps
-    # activations NCHW (W in lanes) and computes the conv via PallasConv3x3.
+    # activations NCHW (W in lanes) and computes the conv via PallasConvBN.
     data_format: str = "NHWC"
+    # NCHW only: return (y_raw, (mul, add)) — the conv output BEFORE the
+    # BatchNorm apply plus the folded f32 [C] scale/bias.  The caller either
+    # feeds the pair to the next PallasConvBN (fused in-VMEM apply+ReLU) or
+    # applies it around a residual add.  ``act`` is then the CALLER's
+    # responsibility.
+    raw_out: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -233,9 +268,20 @@ class ConvNormAct(nn.Module):
                 and not self.s2d
                 and self.spatial_mesh is None
             ), "NCHW path covers the stride-1 3x3 branch convs only"
-            x = PallasConv3x3(self.features, dtype=self.dtype, name="Conv_0")(x)
-            x = Norm(self.norm, self.bn_momentum, self.dtype, axis=1)(x, train)
-            return nn.relu(x) if self.act else x
+            fold_in = None
+            if isinstance(x, tuple):
+                x, fold_in = x
+            y, s = PallasConvBN(
+                self.features, dtype=self.dtype, name="Conv_0")(x, fold_in)
+            count = y.shape[0] * y.shape[2] * y.shape[3]
+            fold = Norm(self.norm, self.bn_momentum, self.dtype, axis=1)(
+                None, train, sums=s, count=count)
+            if self.raw_out:
+                return y, fold
+            mul, add = fold
+            out = (y * mul.astype(self.dtype)[None, :, None, None]
+                   + add.astype(self.dtype)[None, :, None, None])
+            return nn.relu(out) if self.act else out
         if self.spatial_mesh is not None:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
             x = SpatialConv(

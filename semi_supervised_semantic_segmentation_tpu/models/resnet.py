@@ -42,7 +42,24 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.data_format == "NCHW":
+            # Fused branch-chain flow: conv1's BN+ReLU is applied inside
+            # conv2's kernel (in VMEM, never materialized in HBM) and both
+            # BatchNorms read their batch statistics from the kernels'
+            # accumulated sums.  Same math and param tree as the NHWC flow.
             assert self.stride == 1 and self.dilation == 1 and not self.downsample
+            y1, fold1 = ConvNormAct(
+                self.planes, (3, 3), norm=self.norm,
+                bn_momentum=self.bn_momentum, dtype=self.dtype,
+                data_format="NCHW", raw_out=True, name="conv1",
+            )(x, train)
+            y2, (mul2, add2) = ConvNormAct(
+                self.planes, (3, 3), act=False, norm=self.norm,
+                bn_momentum=self.bn_momentum, dtype=self.dtype,
+                data_format="NCHW", raw_out=True, name="conv2",
+            )((y1, fold1), train)
+            out = (y2 * mul2.astype(self.dtype)[None, :, None, None]
+                   + add2.astype(self.dtype)[None, :, None, None])
+            return nn.relu(out + x)
         identity = x
         out = ConvNormAct(
             self.planes,
@@ -52,7 +69,6 @@ class BasicBlock(nn.Module):
             norm=self.norm,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
-            data_format=self.data_format,
             name="conv1",
         )(x, train)
         out = ConvNormAct(
@@ -63,7 +79,6 @@ class BasicBlock(nn.Module):
             norm=self.norm,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
-            data_format=self.data_format,
             name="conv2",
         )(out, train)
         if self.downsample:

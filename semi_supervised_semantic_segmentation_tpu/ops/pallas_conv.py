@@ -91,13 +91,34 @@ def _win_start(x_hbm, xbuf, halo, sem, s, slot, nb):
         ).start()
 
 
-def _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i2, nb, c, w):
+def _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i2, nb, c, w, pre=None):
     """Wait for step DMAs, then place halo rows (or image-edge zeros) next
-    to the body with VPU writes: top at BODY0-1, bottom at BODY0+BH."""
+    to the body with VPU writes: top at BODY0-1, bottom at BODY0+BH.
+
+    ``pre`` = optional (mul, add) [C, 1] arrays (compute dtype): the
+    conv input becomes relu(x * mul + add) — the previous layer's folded
+    BatchNorm+ReLU applied AFTER the DMA, so the normalized tensor never
+    exists in HBM.  Image-edge rows stay zero (conv SAME padding pads the
+    TRANSFORMED input), hence the transform runs before the zero writes."""
+    if pre is not None:
+        # f32 [C, 1] holding bf16-ROUNDED values: Mosaic can't insert a
+        # minor dim on bf16 vectors, so the broadcastable operands are f32;
+        # the products/sums of bf16-representable values are exact in f32
+        # and the rounding casts reproduce the XLA path's bf16 fma
+        # (x*mul then +add, each rounded) BIT-EXACTLY.
+        mul, add = pre
+
+        def tr(v):
+            p = (v.astype(jnp.float32) * mul[:, :, None]).astype(xbuf.dtype)
+            t = (p.astype(jnp.float32) + add[:, :, None]).astype(xbuf.dtype)
+            return jnp.maximum(t, 0)
     pltpu.make_async_copy(
         x_hbm.at[0, :, pl.ds(0, BH), :],
         xbuf.at[slot, :, pl.ds(BODY0, BH), :], sem.at[slot, 0],
     ).wait()
+    if pre is not None:
+        xbuf[slot, :, BODY0:BODY0 + BH, :] = tr(
+            xbuf[slot, :, BODY0:BODY0 + BH, :])
 
     @pl.when(i2 > 0)
     def _():
@@ -105,7 +126,8 @@ def _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i2, nb, c, w):
             x_hbm.at[0, :, pl.ds(0, 8), :],
             halo.at[slot, 0], sem.at[slot, 1],
         ).wait()
-        xbuf[slot, :, BODY0 - 1:BODY0, :] = halo[slot, 0, :, 7:8, :]
+        row = halo[slot, 0, :, 7:8, :]
+        xbuf[slot, :, BODY0 - 1:BODY0, :] = tr(row) if pre is not None else row
 
     @pl.when(i2 == 0)
     def _():
@@ -117,7 +139,9 @@ def _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i2, nb, c, w):
             x_hbm.at[0, :, pl.ds(0, 8), :],
             halo.at[slot, 1], sem.at[slot, 2],
         ).wait()
-        xbuf[slot, :, BODY0 + BH:BODY0 + BH + 1, :] = halo[slot, 1, :, 0:1, :]
+        row = halo[slot, 1, :, 0:1, :]
+        xbuf[slot, :, BODY0 + BH:BODY0 + BH + 1, :] = (
+            tr(row) if pre is not None else row)
 
     @pl.when(i2 == nb - 1)
     def _():
@@ -196,8 +220,8 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w, interpret,
     y_ref[0] = y.reshape(c, BH, w).astype(y_ref.dtype)
 
 
-def _kernel_kstack(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w,
-                   interpret, sub=BH):
+def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
+                   pre=False, stats=False):
     """K-stacked variant of ``_kernel``: for each dw tap, ONE dot
     [C, 3C] x [3C, sub*W] against a dh-stacked row buffer (the three dh row
     windows concatenated along the contraction dim).  3 dots of K=3C per
@@ -205,7 +229,22 @@ def _kernel_kstack(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w,
     144/256 instead of 48/128 per pass and the MXU issues 3x fewer dots
     (pipeline-fill amortization).  Output dw rolls identical to ``_kernel``.
     ``a_ref`` must be packed by ``_pack_kstack`` ((dw, dh, ci) column order).
+
+    ``pre`` adds (mul, add) [C, 1] inputs: the conv input becomes
+    relu(x*mul+add) applied in VMEM after the DMA (the previous BN+ReLU,
+    never materialized in HBM).  ``stats`` adds a [2, C] f32 output
+    accumulated across the grid: per-channel sum and sum-of-squares of the
+    bf16-rounded y (the NEXT BatchNorm's batch statistics, for free under
+    the MXU shadow).
     """
+    refs = list(refs)
+    pre_refs = None
+    if pre:
+        pre_refs = (refs.pop(0)[:], refs.pop(0)[:])
+    y_ref = refs.pop(0)
+    s_ref = refs.pop(0) if stats else None
+    xbuf, halo, sem = refs
+
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
@@ -213,13 +252,15 @@ def _kernel_kstack(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w,
     @pl.when(step == 0)
     def _():
         _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
+        if stats:
+            s_ref[:] = jnp.zeros_like(s_ref)
 
     @pl.when(step + 1 < total)
     def _():
         _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
 
     slot = step % 2
-    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w, pre=pre_refs)
 
     xw = xbuf[slot]
     nsub = BH // sub
@@ -244,31 +285,50 @@ def _kernel_kstack(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w,
     left = jnp.where(wcol == 0, 0.0, roll(tmp[0], 1))
     right = jnp.where(wcol == w - 1, 0.0, roll(tmp[2], BH * w - 1))
     y = tmp[1] + left + right
-    y_ref[0] = y.reshape(c, BH, w).astype(y_ref.dtype)
+    yb = y.astype(y_ref.dtype)
+    y_ref[0] = yb.reshape(c, BH, w)
+    if stats:
+        y32 = yb.astype(jnp.float32)
+        s_ref[0:1, :] += jnp.sum(y32, axis=1)[None, :]
+        s_ref[1:2, :] += jnp.sum(y32 * y32, axis=1)[None, :]
 
 
 def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
-                       variant="outshift"):
+                       variant="outshift", pre=None, stats=False):
+    """pre = optional (mul, add) [C, 1] compute-dtype arrays (kstack only);
+    stats=True additionally returns [2, C] f32 (sum, sum-of-squares) of y."""
     n, c, h, w = x.shape
     nb = h // BH
     if variant == "kstack":
         kern = functools.partial(_kernel_kstack, nb=nb, c=c, w=w,
-                                 interpret=interpret, sub=sub)
+                                 interpret=interpret, sub=sub,
+                                 pre=pre is not None, stats=stats)
     else:
+        assert pre is None and not stats
         kern = functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret,
                                  sub=sub, s_inner=s_inner)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((c, 9 * c), lambda nn_, ii: (0, 0)),
+    ]
+    args = [x, a]
+    if pre is not None:
+        in_specs += [pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0))] * 2
+        args += [pre[0], pre[1]]
+    out_specs = pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0))
+    out_shape = jax.ShapeDtypeStruct((n, c, h, w), x.dtype)
+    if stats:
+        out_specs = (out_specs, pl.BlockSpec((2, c), lambda nn_, ii: (0, 0)))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((2, c), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=(n, nb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((c, 9 * c), lambda nn_, ii: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, c, h, w), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
-    )(x, a)
+    )(*args)
 
 
 def _pack(k, dtype):
@@ -347,8 +407,8 @@ def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret,
                 preferred_element_type=jnp.float32)
 
 
-def _dw_kernel_dyroll(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w,
-                      interpret, sub=SUB):
+def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
+                      pre=False):
     """dk[co, (dw, dh, ci)] accumulated as dy_rolled x x3^T.
 
     Identity: sum_w x[ci, w+dw-1] dy[co, w] = sum_w x[ci, w] dy[co, w-dw+1]
@@ -358,7 +418,15 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w,
     per row-subgroup on x.  The x side is a pure dh row-stack (3 bf16
     row-slice copies, no casts), and the dot streams M=C rows with N=3C
     output lanes per dw — both the VPU and MXU work drop vs ``_dw_kernel``.
+
+    ``pre`` adds (mul, add) [C, 1] inputs applied to the DMA'd x window as
+    relu(x*mul+add) — the weight grad of a conv whose (never-materialized)
+    input is the previous BN+ReLU output.
     """
+    refs = list(refs)
+    pre_refs = (refs.pop(0)[:], refs.pop(0)[:]) if pre else None
+    dk_ref, xbuf, halo, sem = refs
+
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
     total = pl.num_programs(0) * nb
@@ -373,7 +441,7 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w,
         _win_start(x_hbm, xbuf, halo, sem, step + 1, (step + 1) % 2, nb)
 
     slot = step % 2
-    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w)
+    _win_wait_fill(x_hbm, xbuf, halo, sem, slot, i, nb, c, w, pre=pre_refs)
 
     xw = xbuf[slot]
     base = BODY0 - 1
@@ -400,30 +468,37 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w,
 
 
 def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
-                     variant="stack"):
+                     variant="stack", pre=None):
     """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k)."""
     n, c, h, w = x.shape
     nb = h // BH
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
+    ]
+    args = [x, dy]
     if variant == "dyroll":
         kern = functools.partial(_dw_kernel_dyroll, nb=nb, c=c, w=w,
-                                 interpret=interpret, sub=sub)
+                                 interpret=interpret, sub=sub,
+                                 pre=pre is not None)
         out_shape = (c, 9 * c)
+        if pre is not None:
+            in_specs += [pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0))] * 2
+            args += [pre[0], pre[1]]
     else:
+        assert pre is None
         kern = functools.partial(_dw_kernel, nb=nb, c=c, w=w,
                                  interpret=interpret, swap=swap, sub=sub)
         out_shape = (c, 9 * c) if swap else (9 * c, c)
     dk = pl.pallas_call(
         kern,
         grid=(n, nb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(out_shape, lambda nn_, ii: (0, 0)),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
-    )(x, dy)
+    )(*args)
     if variant == "dyroll":
         # columns are (dw, dh, ci); want [dh, dw, ci, co].
         return jnp.transpose(dk.reshape(c, 3, 3, c), (2, 1, 3, 0))
@@ -492,3 +567,104 @@ def conv3x3_nchw(x, k, interpret: bool = False):
     dtype=bf16, param_dtype=f32).
     """
     return _conv_fn(bool(interpret))(x, k)
+
+
+# ---------------------------------------------------------------------------
+# fused conv + BN-stats (+ input BN-apply/ReLU) — the branch-chain CBR op
+# ---------------------------------------------------------------------------
+
+def _cbr_dY(dy, s_bar, y):
+    """Total cotangent into y when (y, s) are both consumed downstream:
+    dY = dy + ds1 + 2*y*ds2 (per channel)."""
+    ds1 = s_bar[0][None, :, None, None]
+    ds2 = s_bar[1][None, :, None, None]
+    return (dy.astype(jnp.float32) + ds1
+            + 2.0 * y.astype(jnp.float32) * ds2).astype(y.dtype)
+
+
+@functools.lru_cache(maxsize=4)
+def _cbr_fn(interpret: bool, pre: bool):
+    pack = _pack_kstack
+
+    def run(x, k, mul=None, add=None):
+        p = None
+        if pre:
+            p = (mul.astype(x.dtype).astype(jnp.float32)[:, None],
+                 add.astype(x.dtype).astype(jnp.float32)[:, None])
+        return _conv3x3_nchw_impl(
+            x, pack(k, x.dtype), interpret=interpret, sub=FWD_SUB,
+            variant="kstack", pre=p, stats=True)
+
+    def dx_conv(dY, k):
+        k_bwd = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+        return _conv3x3_nchw_impl(
+            dY, pack(k_bwd, dY.dtype), interpret=interpret, sub=FWD_SUB,
+            variant="kstack")
+
+    if not pre:
+        @jax.custom_vjp
+        def f(x, k):
+            return run(x, k)
+
+        def fwd(x, k):
+            y, s = f(x, k)
+            return (y, s), (x, k, y)
+
+        def bwd(res, cot):
+            x, k, y = res
+            dY = _cbr_dY(cot[0], cot[1], y)
+            dx = dx_conv(dY, k)
+            dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
+                                  variant=DW_VARIANT, sub=_dw_sub(x.shape[3]))
+            return dx, dk
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    @jax.custom_vjp
+    def f(x, k, mul, add):
+        return run(x, k, mul, add)
+
+    def fwd(x, k, mul, add):
+        y, s = f(x, k, mul, add)
+        return (y, s), (x, k, mul, add, y)
+
+    def bwd(res, cot):
+        x, k, mul, add, y = res
+        dY = _cbr_dY(cot[0], cot[1], y)
+        # dt = grad wrt the transformed input t = relu(x*mul+add).
+        dt = dx_conv(dY, k)
+        p = (mul.astype(x.dtype).astype(jnp.float32)[:, None],
+             add.astype(x.dtype).astype(jnp.float32)[:, None])
+        dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
+                              variant=DW_VARIANT, sub=_dw_sub(x.shape[3]),
+                              pre=p)
+        # chain through the input transform (mask from the same bf16 fma
+        # the kernels applied; relu grad is 0 at exact zeros, the torch
+        # convention — jax.nn.relu, not jnp.maximum).
+        mb = mul.astype(x.dtype)[None, :, None, None]
+        ab = add.astype(x.dtype)[None, :, None, None]
+        mask = (x * mb + ab) > 0
+        xf = x.astype(jnp.float32)
+        dtf = dt.astype(jnp.float32)
+        dtm = jnp.where(mask, dtf, 0.0)
+        dx = (dtm * mul[None, :, None, None]).astype(x.dtype)
+        dmul = jnp.sum(dtm * xf, axis=(0, 2, 3))
+        dadd = jnp.sum(dtm, axis=(0, 2, 3))
+        return dx, dk, dmul, dadd
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv3x3_bn_nchw(x, k, mul=None, add=None, interpret: bool = False):
+    """Fused branch-chain conv: y = conv3x3(t, k) with
+    t = relu(x*mul + add) if (mul, add) given (f32 [C], the previous folded
+    BatchNorm — applied inside the kernels, never materialized in HBM) else
+    t = x.  Returns (y, s) with s = [2, C] f32 per-channel (sum, sum-of-
+    squares) of y — the NEXT BatchNorm's batch statistics, accumulated in
+    VMEM under the MXU shadow.  Differentiable in x, k, mul, add.
+    """
+    if mul is None:
+        return _cbr_fn(bool(interpret), False)(x, k)
+    return _cbr_fn(bool(interpret), True)(x, k, mul, add)

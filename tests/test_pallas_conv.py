@@ -67,6 +67,63 @@ def test_conv3x3_nchw_grads_match():
                                rtol=2e-2, atol=1e-2)
 
 
+def test_conv3x3_bn_nchw_fused_matches_reference():
+    """Fused CBR op: relu(x*mul+add) applied in-kernel + conv + [2,C] stats,
+    and all four gradients, vs the explicit XLA formulation."""
+    from semi_supervised_semantic_segmentation_tpu.ops.pallas_conv import (
+        conv3x3_bn_nchw,
+    )
+
+    rng = np.random.RandomState(5)
+    c = 48
+    x = jnp.asarray(rng.randn(2, c, 64, 64).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.05
+    mul = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    add = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    co = jnp.asarray(rng.randn(2, c, 64, 64).astype(np.float32), jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.01)
+
+    def ref(x, k, mul, add):
+        # jax.nn.relu (NOT jnp.maximum): its vjp is 0 at exact zeros, the
+        # torch convention the kernels implement; maximum splits ties 0.5.
+        t = jax.nn.relu(x * mul.astype(x.dtype)[None, :, None, None]
+                        + add.astype(x.dtype)[None, :, None, None])
+        y = _ref(t, k)
+        y32 = y.astype(jnp.float32)
+        s = jnp.stack([jnp.sum(y32, axis=(0, 2, 3)),
+                       jnp.sum(y32 * y32, axis=(0, 2, 3))])
+        return y, s
+
+    y_r, s_r = ref(x, k, mul, add)
+    y_p, s_p = conv3x3_bn_nchw(x, k, mul, add, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p, np.float32),
+                               np.asarray(y_r, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               rtol=2e-2, atol=2e-1)
+
+    def mkloss(fn):
+        def loss(x, k, mul, add):
+            y, s = fn(x, k, mul, add)
+            return (jnp.vdot(y.astype(jnp.float32), co.astype(jnp.float32))
+                    + jnp.vdot(s[0], w1) + jnp.vdot(s[1], w2))
+        return loss
+
+    gp = jax.grad(mkloss(lambda *a: conv3x3_bn_nchw(*a, interpret=True)),
+                  (0, 1, 2, 3))(x, k, mul, add)
+    gr = jax.grad(mkloss(ref), (0, 1, 2, 3))(x, k, mul, add)
+    # dmul/dadd are per-channel reductions of cancellation-heavy bf16
+    # products — their tolerance also absorbs the CPU conv's thread-count-
+    # dependent accumulation order (observed 3e-3 single-threaded, 3.5e-2
+    # under the 8-virtual-device conftest).
+    tol = {"dx": 2e-2, "dk": 2e-2, "dmul": 8e-2, "dadd": 8e-2}
+    for name, a, b in zip(("dx", "dk", "dmul", "dadd"), gp, gr):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.max(np.abs(a32 - b32)) / (np.max(np.abs(b32)) + 1e-6)
+        assert rel < tol[name], f"{name}: max-rel {rel}"
+
+
 def test_unsupported_shapes_are_gated():
     # H not a multiple of 32 (tiny eval crops) and C > 128 fall back.
     assert not supported((2, 8, 48, 16), 8, 8)
@@ -130,4 +187,10 @@ def test_hrmodule_pallas_equals_xla():
         a, b = fp[key], fr[key]
         err = np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
         scale = np.max(np.abs(np.asarray(b, np.float32))) + 1e-6
-        assert err / scale < 0.05, f"grad mismatch at {key}: rel {err / scale}"
+        # 8%: at these tiny test widths (8/16 ch) the fused path's BN
+        # backward accumulates bf16 cotangents in a different order than
+        # the XLA path and per-channel sums span too few elements to
+        # average the rounding out (observed max 5.1%); structural errors
+        # measure 20%+ (op-level parity at real widths is <= 5e-3,
+        # conv3x3_bn_nchw grad checks).
+        assert err / scale < 0.08, f"grad mismatch at {key}: rel {err / scale}"
