@@ -177,8 +177,10 @@ def ohem_cross_entropy(
 
     Exactly mirrors the official OhemCrossEntropy (sort ascending by
     true-class prob; index min(min_kept, numel-1); strict ``p < threshold``
-    filter), expressed with one device-wide sort instead of boolean
-    indexing so it stays a static-shape XLA program.
+    filter).  The sort only feeds ONE order statistic, so instead of a
+    device-wide sort (8.5/16 ms per step on configs 5/4) ``p_k`` comes from
+    ``_kth_smallest_nonneg_f32`` — a 32-step exact binary search on the
+    IEEE bit space (static-shape, ~32 cheap counting reductions).
     """
     logits = logits.astype(jnp.float32)
     valid = labels != ignore_index
@@ -189,11 +191,36 @@ def ohem_cross_entropy(
     p_true = jnp.exp(ll)
 
     flat_p = jnp.where(valid, p_true, jnp.inf).reshape(-1)
-    sorted_p = jnp.sort(flat_p)  # invalid (+inf) sort to the end
     n_valid = jnp.sum(valid)
     idx = jnp.clip(jnp.minimum(min_kept, n_valid - 1), 0, flat_p.shape[0] - 1)
-    p_k = jnp.take(sorted_p, idx)
+    p_k = _kth_smallest_nonneg_f32(flat_p, idx)
     threshold = jnp.maximum(p_k, thresh)
     kept = valid & (p_true < threshold)
     denom = jnp.maximum(jnp.sum(kept), 1)
     return jnp.sum(pix_loss * kept) / denom
+
+
+def _kth_smallest_nonneg_f32(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact k-th smallest (0-based) of a flat array of NON-NEGATIVE f32
+    values (+inf allowed).  For x >= 0 the IEEE-754 bit pattern is monotone
+    in the value, so the k-th order statistic is found by a 32-step binary
+    search over the uint32 bit space, each step one counting reduction —
+    O(32 n) elementwise work with NO data movement, vs the O(n log n)
+    device-wide ``jnp.sort`` it replaces (equality tested vs sort in
+    tests/test_losses.py).
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rank = (k + 1).astype(jnp.uint32)  # smallest u with count(bits<=u)>=rank
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32)).astype(jnp.uint32)
+        take = cnt >= rank
+        return (jnp.where(take, lo, mid + jnp.uint32(1)),
+                jnp.where(take, mid, hi))
+
+    lo0 = jnp.uint32(0)
+    hi0 = jnp.uint32(0x7F800000)  # +inf: the largest value present
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)

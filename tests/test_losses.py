@@ -156,6 +156,22 @@ def test_ohem_cross_entropy_matches_official_torch(thresh, min_kept):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_kth_smallest_bitsearch_equals_sort():
+    """The OHEM order statistic from the 32-step bit-space binary search is
+    EXACTLY jnp.sort(x)[k], including duplicates, k=0, k=n-1, and +inf
+    padding (the invalid-pixel encoding)."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(4097).astype(np.float32)
+    x[rng.rand(4097) < 0.1] = np.inf        # invalid pixels
+    x[rng.rand(4097) < 0.1] = 0.25          # duplicates
+    x[0] = 0.0
+    xs = np.sort(x)
+    xj = jnp.asarray(x)
+    for k in [0, 1, 100, 2048, 4095, 4096]:
+        got = float(losses._kth_smallest_nonneg_f32(xj, jnp.int32(k)))
+        assert got == float(xs[k]), (k, got, float(xs[k]))
+
+
 def test_ohem_mines_hard_pixels_loss_at_least_plain_ce():
     """OHEM keeps the hardest (highest-CE) pixels, so its mean is >= the
     all-pixel CE mean; and with min_kept >= n_valid and thresh=1.0 it keeps
