@@ -72,6 +72,17 @@ def resize_bilinear(
     banded matmuls run on the MXU in the operand's native layout.  Keep the
     matmul formulation; revisit only with a Pallas kernel that fuses the
     interleave into the surrounding elementwise work.
+
+    Round-3 formulation note (measured, rejected): exact even-integer
+    upsampling as two depthwise lhs-dilated convolutions (palindromic
+    2s-tap kernel [1,3,..,2s-1,2s-1,..,3,1]/2s at padding 3s/2-1;
+    replicate-pad 1 + slice offset s reproduces the edge clamp) measured
+    2.3x the matmul FORWARD standalone at [8,64,64,720]->256^2 (0.744 vs
+    1.744 ms) — but IN CONTEXT it regressed whole steps massively
+    (config 3: 83.8 -> 133.8 ms; config 5: 542 -> 732 ms): the conv
+    transpose of an lhs-dilated depthwise conv in the backward and the
+    small-channel cases (21-ch logits) are far slower than the matmul's
+    simple transposed matmul.  The matmul path stays.
     """
     batched = x.ndim == 4
     if not batched:
