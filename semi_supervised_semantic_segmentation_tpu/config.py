@@ -87,6 +87,10 @@ class ModelConfig:
     # HRNet branch BasicBlock convs: 'xla' | 'pallas' (layout-pinned NCHW
     # kernel for the C<=128 branches, exact same math/params — BASELINE.md)
     branch_conv: str = "xla"
+    # HRNetV2 head fuse order: 'conv_first' (per-branch 1x1 at native res,
+    # upsample the 720-wide result) | 'up_first' (upsample the branch-width
+    # tap, conv at base res) — same math/params, perf A/B (BASELINE.md).
+    head_fuse: str = "conv_first"
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
@@ -309,6 +313,7 @@ _VALID = {
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
     "model.stem_impl": {"conv", "s2d"},
     "model.fuse_impl": {"conv", "s2d"},
+    "model.head_fuse": {"conv_first", "up_first"},
     "model.branch_conv": {"xla", "pallas"},
     "method.name": {"supervised", "mean_teacher", "fixmatch_cutmix", "cps"},
     "method.sup_loss": {"ce", "ohem"},

@@ -144,6 +144,13 @@ class HRNetV2Head(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    # 'conv_first' (default): per-branch fuse conv at NATIVE resolution,
+    # upsample the 720-wide result (~8x fewer fuse-GEMM FLOPs).
+    # 'up_first': upsample the branch tap at its OWN width (96/192/384 ch,
+    # 2-7.5x less resize traffic than the 720-wide resizes whose layout
+    # copies show on the config-5 trace), conv at base resolution — more
+    # MXU FLOPs, less bandwidth.  Same math and parameter tree either way.
+    fuse_order: str = "conv_first"
 
     @nn.compact
     def __call__(self, taps: Dict[str, jnp.ndarray], out_hw, train: bool = False):
@@ -154,13 +161,20 @@ class HRNetV2Head(nn.Module):
             param_dtype=jnp.float32, name="fuse0",
         )(base)
         for i, k in enumerate(("c3", "c4", "c5")):
-            t = nn.Conv(
+            conv = nn.Conv(
                 width, (1, 1), use_bias=False, dtype=self.dtype,
                 param_dtype=jnp.float32, name=f"fuse{i + 1}",
-            )(taps[k])
-            acc = acc + resize_bilinear(
-                t, (base.shape[1], base.shape[2]), align_corners=False
-            ).astype(acc.dtype)
+            )
+            if self.fuse_order == "up_first":
+                t = conv(resize_bilinear(
+                    taps[k], (base.shape[1], base.shape[2]),
+                    align_corners=False).astype(self.dtype))
+                acc = acc + t
+            else:
+                t = conv(taps[k])
+                acc = acc + resize_bilinear(
+                    t, (base.shape[1], base.shape[2]), align_corners=False
+                ).astype(acc.dtype)
         x = Norm(
             kind=self.norm, momentum=self.bn_momentum, dtype=self.dtype,
             name="fuse_norm",

@@ -57,6 +57,8 @@ class SegModel(nn.Module):
     # HRNet branch BasicBlock conv path: 'xla' | 'pallas' (layout-pinned
     # NCHW kernel for the narrow branches — see ops/pallas_conv.py).
     branch_conv: str = "xla"
+    # HRNetV2 head fuse order: 'conv_first' | 'up_first' (models/hrnet.py).
+    head_fuse: str = "conv_first"
     # Mesh for spatial (H) sharding of the HRNet stem (model axis > 1).
     spatial_mesh: Any = None
 
@@ -102,6 +104,7 @@ class SegModel(nn.Module):
                 norm=self.norm,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                fuse_order=self.head_fuse,
                 name="decoder",
             )(taps, out_hw, train)
         elif self.decoder == "unet":
@@ -153,5 +156,6 @@ def build_model(cfg: Config, mesh: Any = None) -> SegModel:
         stem_impl=cfg.model.stem_impl,
         fuse_impl=cfg.model.fuse_impl,
         branch_conv=cfg.model.branch_conv,
+        head_fuse=cfg.model.head_fuse,
         spatial_mesh=spatial_mesh,
     )

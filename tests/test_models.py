@@ -269,3 +269,33 @@ def test_hrnet_fuse_s2d_matches_plain():
         np.testing.assert_allclose(
             np.asarray(ta[key]), np.asarray(tb[key]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_hrnet_head_up_first_matches_conv_first():
+    """fuse_order='up_first' (upsample branch taps, conv at base res) is the
+    same linear map as 'conv_first' (1x1 conv commutes with per-channel
+    bilinear resize); identical parameter tree, equal outputs."""
+    import numpy as np
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import (
+        HRNetV2Head,
+    )
+
+    rng = np.random.RandomState(7)
+    taps = {
+        k: jnp.asarray(rng.randn(1, s, s, c).astype(np.float32))
+        for k, s, c in [
+            ("c2", 16, 8), ("c3", 8, 16), ("c4", 4, 32), ("c5", 2, 64)
+        ]
+    }
+    a = HRNetV2Head(num_classes=5, dtype=jnp.float32)
+    b = HRNetV2Head(num_classes=5, dtype=jnp.float32, fuse_order="up_first")
+    va = a.init(jax.random.key(0), taps, (64, 64), False)
+    vb = b.init(jax.random.key(0), taps, (64, 64), False)
+    assert jax.tree.map(lambda t: t.shape, va) == jax.tree.map(
+        lambda t: t.shape, vb
+    )
+    oa = a.apply(va, taps, (64, 64), False)
+    ob = b.apply(va, taps, (64, 64), False)  # SAME params
+    np.testing.assert_allclose(
+        np.asarray(oa), np.asarray(ob), rtol=1e-4, atol=1e-4
+    )
