@@ -251,9 +251,11 @@ class HRNet(nn.Module):
             64, (3, 3), strides=(2, 2), spatial_mesh=self.spatial_mesh,
             name="stem2", **kw
         )(x, train)
-        if self.spatial_mesh is not None:
+        if self.spatial_mesh is not None and not self.is_initializing():
             # Leave the spatially-partitioned region: the rest of the net
-            # (stride >= 4, small activations) runs batch-DP only.
+            # (stride >= 4, small activations) runs batch-DP only.  Skipped
+            # during init: the batch-1 shape dummy need not divide the
+            # 'data' axis (SpatialConv has the same init carve-out).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             import jax
