@@ -56,6 +56,8 @@ class HRModule(nn.Module):
     # 4-block chain, zero relayouts inside.  Exact same math and param tree;
     # ineligible branches/shapes keep the NHWC XLA path.
     branch_conv: str = "xla"
+    # Mesh for the pallas kernels' data-sharded shard_map (multi-chip DP).
+    dp_mesh: Any = None
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False):
@@ -83,6 +85,7 @@ class HRModule(nn.Module):
                     bn_momentum=self.bn_momentum,
                     dtype=self.dtype,
                     data_format="NCHW" if nchw else "NHWC",
+                    dp_mesh=self.dp_mesh if nchw else None,
                     name=f"branch{i}_block{b}",
                 )(x, train)
             if nchw:
@@ -210,6 +213,8 @@ class HRNet(nn.Module):
     fuse_impl: str = "conv"
     # 'xla' | 'pallas': branch BasicBlock conv path (see HRModule).
     branch_conv: str = "xla"
+    # Mesh for the pallas kernels' data-sharded shard_map (multi-chip DP).
+    dp_mesh: Any = None
     # Optional per-stage branch-width override (default () = (w,2w,4w,8w)).
     # Perf experiment surface: widths below 128 pad to 128 lanes in every
     # conv operand anyway, and the compact-vs-padded layout mismatch is what
@@ -231,7 +236,8 @@ class HRNet(nn.Module):
         fuse_s2d = self.fuse_impl == "s2d"
 
         # nn.remat over list-of-arrays args: train (argnum 2) stays static.
-        mod_kw = dict(fuse_s2d=fuse_s2d, branch_conv=self.branch_conv)
+        mod_kw = dict(fuse_s2d=fuse_s2d, branch_conv=self.branch_conv,
+                      dp_mesh=self.dp_mesh)
 
         def module_for(stage: int):
             if stage not in self.remat_stages:

@@ -194,6 +194,10 @@ class PallasConvBN(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    # Mesh with a >1 'data' axis: run the kernels under shard_map with the
+    # batch sharded (GSPMD cannot partition the opaque custom call; see
+    # ops/pallas_conv.py::conv3x3_bn_nchw).
+    dp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, fold=None):
@@ -226,7 +230,8 @@ class PallasConvBN(nn.Module):
                            jnp.sum(jnp.square(y32), axis=(0, 2, 3))])
             return y, s
         mul, add = fold if fold is not None else (None, None)
-        return pallas_conv.conv3x3_bn_nchw(x, k, mul, add, interpret=on_cpu)
+        return pallas_conv.conv3x3_bn_nchw(
+            x, k, mul, add, interpret=on_cpu, mesh=self.dp_mesh)
 
 
 class ConvNormAct(nn.Module):
@@ -250,6 +255,8 @@ class ConvNormAct(nn.Module):
     # 'NHWC' (default) or 'NCHW': the layout-pinned HRNet branch path keeps
     # activations NCHW (W in lanes) and computes the conv via PallasConvBN.
     data_format: str = "NHWC"
+    # Mesh for the pallas branch kernels' data-sharded shard_map (NCHW only).
+    dp_mesh: Any = None
     # NCHW only: return (y_raw, (mul, add)) — the conv output BEFORE the
     # BatchNorm apply plus the folded f32 [C] scale/bias.  The caller either
     # feeds the pair to the next PallasConvBN (fused in-VMEM apply+ReLU) or
@@ -272,7 +279,8 @@ class ConvNormAct(nn.Module):
             if isinstance(x, tuple):
                 x, fold_in = x
             y, s = PallasConvBN(
-                self.features, dtype=self.dtype, name="Conv_0")(x, fold_in)
+                self.features, dtype=self.dtype, dp_mesh=self.dp_mesh,
+                name="Conv_0")(x, fold_in)
             count = y.shape[0] * y.shape[2] * y.shape[3]
             fold = Norm(self.norm, self.bn_momentum, self.dtype, axis=1)(
                 None, train, sums=s, count=count)

@@ -59,6 +59,9 @@ class SegModel(nn.Module):
     branch_conv: str = "xla"
     # HRNetV2 head fuse order: 'conv_first' | 'up_first' (models/hrnet.py).
     head_fuse: str = "conv_first"
+    # Mesh with a >1 'data' axis: the pallas branch kernels run data-sharded
+    # under shard_map (GSPMD cannot partition the opaque custom call).
+    dp_mesh: Any = None
     # Mesh for spatial (H) sharding of the HRNet stem (model axis > 1).
     spatial_mesh: Any = None
 
@@ -88,6 +91,7 @@ class SegModel(nn.Module):
                 remat_scope="branch_blocks" if self.remat == "branches" else "module",
                 fuse_impl=self.fuse_impl,
                 branch_conv=self.branch_conv,
+                dp_mesh=self.dp_mesh,
                 spatial_mesh=self.spatial_mesh,
                 name="encoder",
             )(x, train)
@@ -157,5 +161,11 @@ def build_model(cfg: Config, mesh: Any = None) -> SegModel:
         fuse_impl=cfg.model.fuse_impl,
         branch_conv=cfg.model.branch_conv,
         head_fuse=cfg.model.head_fuse,
+        dp_mesh=(
+            mesh
+            if (mesh is not None and dict(mesh.shape).get("data", 1) > 1
+                and cfg.model.branch_conv == "pallas")
+            else None
+        ),
         spatial_mesh=spatial_mesh,
     )

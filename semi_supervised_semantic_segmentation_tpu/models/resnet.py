@@ -38,6 +38,8 @@ class BasicBlock(nn.Module):
     # (HRNet branch chains; stride/dilation must be 1, no downsample).
     # Param tree is identical either way.
     data_format: str = "NHWC"
+    # Mesh for the NCHW pallas kernels' data-sharded shard_map.
+    dp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,12 +52,14 @@ class BasicBlock(nn.Module):
             y1, fold1 = ConvNormAct(
                 self.planes, (3, 3), norm=self.norm,
                 bn_momentum=self.bn_momentum, dtype=self.dtype,
-                data_format="NCHW", raw_out=True, name="conv1",
+                data_format="NCHW", raw_out=True, dp_mesh=self.dp_mesh,
+                name="conv1",
             )(x, train)
             y2, (mul2, add2) = ConvNormAct(
                 self.planes, (3, 3), act=False, norm=self.norm,
                 bn_momentum=self.bn_momentum, dtype=self.dtype,
-                data_format="NCHW", raw_out=True, name="conv2",
+                data_format="NCHW", raw_out=True, dp_mesh=self.dp_mesh,
+                name="conv2",
             )((y1, fold1), train)
             out = (y2 * mul2.astype(self.dtype)[None, :, None, None]
                    + add2.astype(self.dtype)[None, :, None, None])

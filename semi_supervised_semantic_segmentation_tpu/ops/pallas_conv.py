@@ -294,9 +294,11 @@ def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
 
 
 def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
-                       variant="outshift", pre=None, stats=False):
+                       variant="outshift", pre=None, stats=False, vma=None):
     """pre = optional (mul, add) [C, 1] compute-dtype arrays (kstack only);
-    stats=True additionally returns [2, C] f32 (sum, sum-of-squares) of y."""
+    stats=True additionally returns [2, C] f32 (sum, sum-of-squares) of y.
+    vma = varying-across-mesh-axes set for the outputs (required when the
+    op runs inside a ``check_vma=True`` shard_map)."""
     n, c, h, w = x.shape
     nb = h // BH
     if variant == "kstack":
@@ -315,11 +317,12 @@ def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
     if pre is not None:
         in_specs += [pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0))] * 2
         args += [pre[0], pre[1]]
+    kw = {} if vma is None else {"vma": vma}
     out_specs = pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0))
-    out_shape = jax.ShapeDtypeStruct((n, c, h, w), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((n, c, h, w), x.dtype, **kw)
     if stats:
         out_specs = (out_specs, pl.BlockSpec((2, c), lambda nn_, ii: (0, 0)))
-        out_shape = (out_shape, jax.ShapeDtypeStruct((2, c), jnp.float32))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((2, c), jnp.float32, **kw))
     return pl.pallas_call(
         kern,
         grid=(n, nb),
@@ -468,7 +471,7 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
 
 
 def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
-                     variant="stack", pre=None):
+                     variant="stack", pre=None, vma=None):
     """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k)."""
     n, c, h, w = x.shape
     nb = h // BH
@@ -495,7 +498,8 @@ def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
         grid=(n, nb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(out_shape, lambda nn_, ii: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            out_shape, jnp.float32, **({} if vma is None else {"vma": vma})),
         scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
     )(*args)
@@ -582,9 +586,22 @@ def _cbr_dY(dy, s_bar, y):
             + 2.0 * y.astype(jnp.float32) * ds2).astype(y.dtype)
 
 
-@functools.lru_cache(maxsize=4)
-def _cbr_fn(interpret: bool, pre: bool):
+@functools.lru_cache(maxsize=8)
+def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
+    """``axis``: mesh axis name when the op runs inside a data-sharded
+    shard_map — the kernel outputs are marked varying over it and the
+    backward psums the replicated operands' gradients (dk, dmul, dadd) so
+    their vma matches the primals (shard_map's transpose then inserts no
+    further collective)."""
     pack = _pack_kstack
+    # vma marking is disabled: pallas interpret mode cannot propagate vma
+    # through its internal dynamic_slices (JAX suggests check_vma=False as
+    # the workaround), so the shard_map wrapper runs check_vma=False.  Even
+    # then, shard_map's transpose psums the cotangents of replicated (P())
+    # operands itself — the bwd below must return PER-SHARD dk/dmul/dadd
+    # (a manual psum double-counts by the axis size; pinned by
+    # tests/test_parallel.py sharded == unsharded incl. all grads).
+    vma = None
 
     def run(x, k, mul=None, add=None):
         p = None
@@ -593,13 +610,14 @@ def _cbr_fn(interpret: bool, pre: bool):
                  add.astype(x.dtype).astype(jnp.float32)[:, None])
         return _conv3x3_nchw_impl(
             x, pack(k, x.dtype), interpret=interpret, sub=FWD_SUB,
-            variant="kstack", pre=p, stats=True)
+            variant="kstack", pre=p, stats=True, vma=vma)
 
     def dx_conv(dY, k):
         k_bwd = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
         return _conv3x3_nchw_impl(
             dY, pack(k_bwd, dY.dtype), interpret=interpret, sub=FWD_SUB,
-            variant="kstack")
+            variant="kstack", vma=vma)
+
 
     if not pre:
         @jax.custom_vjp
@@ -615,7 +633,8 @@ def _cbr_fn(interpret: bool, pre: bool):
             dY = _cbr_dY(cot[0], cot[1], y)
             dx = dx_conv(dY, k)
             dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
-                                  variant=DW_VARIANT, sub=_dw_sub(x.shape[3]))
+                                  variant=DW_VARIANT, sub=_dw_sub(x.shape[3]),
+                                  vma=vma)
             return dx, dk
 
         f.defvjp(fwd, bwd)
@@ -638,7 +657,7 @@ def _cbr_fn(interpret: bool, pre: bool):
              add.astype(x.dtype).astype(jnp.float32)[:, None])
         dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
                               variant=DW_VARIANT, sub=_dw_sub(x.shape[3]),
-                              pre=p)
+                              pre=p, vma=vma)
         # chain through the input transform (mask from the same bf16 fma
         # the kernels applied; relu grad is 0 at exact zeros, the torch
         # convention — jax.nn.relu, not jnp.maximum).
@@ -657,14 +676,42 @@ def _cbr_fn(interpret: bool, pre: bool):
     return f
 
 
-def conv3x3_bn_nchw(x, k, mul=None, add=None, interpret: bool = False):
+def conv3x3_bn_nchw(x, k, mul=None, add=None, interpret: bool = False,
+                    mesh=None):
     """Fused branch-chain conv: y = conv3x3(t, k) with
     t = relu(x*mul + add) if (mul, add) given (f32 [C], the previous folded
     BatchNorm — applied inside the kernels, never materialized in HBM) else
     t = x.  Returns (y, s) with s = [2, C] f32 per-channel (sum, sum-of-
     squares) of y — the NEXT BatchNorm's batch statistics, accumulated in
     VMEM under the MXU shadow.  Differentiable in x, k, mul, add.
+
+    ``mesh`` (a Mesh whose 'data' axis is > 1): run the op under shard_map
+    with the batch dim on 'data'.  XLA's SPMD partitioner treats the
+    opaque tpu_custom_call as non-partitionable, so under plain GSPMD a
+    batch-sharded input would be ALL-GATHERED and each chip would compute
+    the full global batch; the shard_map keeps the kernel per-shard and
+    restores the global BN statistics with one [2, C] psum (SyncBN
+    semantics preserved exactly — the consumer divides by the GLOBAL
+    count).  Gradients flow through shard_map: dx stays batch-sharded,
+    dk/dmul/dadd of the replicated operands are psummed by the transpose.
     """
-    if mul is None:
-        return _cbr_fn(bool(interpret), False)(x, k)
-    return _cbr_fn(bool(interpret), True)(x, k, mul, add)
+    args = (x, k) if mul is None else (x, k, mul, add)
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return _cbr_fn(bool(interpret), mul is not None)(*args)
+    f = _cbr_fn(bool(interpret), mul is not None, "data")
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.7 top-level API
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local(*a):
+        y, s = f(*a)
+        return y, jax.lax.psum(s, "data")
+
+    reps = (P(),) * (len(args) - 1)
+    return shard_map(
+        local, mesh=mesh, in_specs=(P("data"),) + reps,
+        out_specs=(P("data"), P()), check_vma=False,
+    )(*args)

@@ -99,3 +99,90 @@ def test_ssl_step_runs_sharded():
     s, m = step(s, lab, unlab)
     assert np.isfinite(float(m["loss"]))
     assert int(s.step) == 1
+
+
+def test_pallas_conv_shard_map_equals_unsharded():
+    """conv3x3_bn_nchw under a data>1 mesh runs per-shard via shard_map
+    (GSPMD cannot partition the opaque custom call) with the BN sums
+    psummed — outputs, stats, AND all four gradients must equal the
+    unsharded op.  SyncBN semantics of the fused branch path under DP."""
+    from semi_supervised_semantic_segmentation_tpu.ops.pallas_conv import (
+        conv3x3_bn_nchw,
+    )
+
+    rng = np.random.RandomState(11)
+    c = 8
+    x = jnp.asarray(rng.randn(8, c, 64, 16).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.1
+    mul = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    add = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    co = jnp.asarray(rng.randn(8, c, 64, 16).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(2, c).astype(np.float32) * 0.1)
+
+    mesh = mesh_lib.make_mesh()
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None, None, None)))
+
+    def loss(fn, x, k, mul, add):
+        y, s = fn(x, k, mul, add)
+        return (jnp.vdot(y.astype(jnp.float32), co.astype(jnp.float32))
+                + jnp.vdot(s, w))
+
+    ref_f = lambda *a: conv3x3_bn_nchw(*a, interpret=True)
+    sh_f = lambda *a: conv3x3_bn_nchw(*a, interpret=True, mesh=mesh)
+
+    y0, s0 = jax.jit(ref_f)(x, k, mul, add)
+    y1, s1 = jax.jit(sh_f)(xs, k, mul, add)
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y0, np.float32), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-3)
+
+    g0 = jax.jit(jax.grad(lambda *a: loss(ref_f, *a), (0, 1, 2, 3)))(
+        x, k, mul, add)
+    g1 = jax.jit(jax.grad(lambda *a: loss(sh_f, *a), (0, 1, 2, 3)))(
+        xs, k, mul, add)
+    for name, a, b in zip(("dx", "dk", "dmul", "dadd"), g1, g0):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.max(np.abs(a32 - b32)) / (np.max(np.abs(b32)) + 1e-6)
+        assert rel < 1e-3, f"{name}: max-rel {rel}"
+
+
+def test_hrmodule_pallas_dp_mesh_equals_unsharded():
+    """HRModule with dp_mesh set (the multi-chip pallas path): sharded
+    train-mode apply == unsharded apply, including the BatchNorm batch
+    stats that now come from psummed kernel sums."""
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRModule
+
+    rng = np.random.RandomState(12)
+    xs = [
+        jnp.asarray(rng.randn(8, 64, 16, 8).astype(np.float32), jnp.bfloat16),
+        jnp.asarray(rng.randn(8, 32, 8, 16).astype(np.float32), jnp.bfloat16),
+    ]
+    mesh = mesh_lib.make_mesh()
+    mod0 = HRModule(channels=(8, 16), num_blocks=2, branch_conv="pallas")
+    mod1 = HRModule(channels=(8, 16), num_blocks=2, branch_conv="pallas",
+                    dp_mesh=mesh)
+    v = mod0.init(jax.random.PRNGKey(0), xs, True)
+    out0, var0 = mod0.apply(v, xs, True, mutable=["batch_stats"])
+    xsh = [
+        jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None, None, None)))
+        for x in xs
+    ]
+    out1, var1 = jax.jit(
+        lambda v, xs: mod1.apply(v, xs, True, mutable=["batch_stats"])
+    )(v, xsh)
+    for a, b in zip(out1, out0):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-2, atol=1e-2)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(var1["batch_stats"]),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(var0["batch_stats"]),
+               key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(pa))
