@@ -27,6 +27,12 @@ step DMAs a 40-row aligned window (H padded by 1+7) for its 32 output rows.
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_branch_conv.py
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

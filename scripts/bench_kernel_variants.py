@@ -7,6 +7,12 @@ per program — single dispatches floor at ~1.3-1.8 ms wall on the relay).
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_kernel_variants.py
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

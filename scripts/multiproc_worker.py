@@ -17,6 +17,12 @@ asserts every process saw the identical global loss and that it equals the
 single-process oracle on the gathered batch.
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

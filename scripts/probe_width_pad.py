@@ -15,6 +15,12 @@ This times encoder+head fwd+bwd only (where the branches live), batch 8 at
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_width_pad.py
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

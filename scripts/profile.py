@@ -21,6 +21,12 @@ return before enqueued programs execute, and the relay charges a one-time
 first-result cost for large programs that must land outside the timed window.
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import collections
 import glob

@@ -5,6 +5,12 @@ and no recompile on the second call.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/smoke_tpu.py
 """
 
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

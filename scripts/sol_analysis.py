@@ -2,6 +2,12 @@
 
 Computes the compiled step's total FLOPs from XLA cost analysis, divides by
 the chip's peak to get the pure-MXU floor, applies a utilization ceiling
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from the model's channel structure (output channels < 128 underfill the MXU
 lanes), and compares with the measured step time to report headroom.
 

@@ -411,7 +411,7 @@ def _dw_kernel(x_hbm, dy_ref, dk_ref, xbuf, halo, sem, *, nb, c, w, interpret,
 
 
 def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
-                      pre=False):
+                      pre=False, fuse=False):
     """dk[co, (dw, dh, ci)] accumulated as dy_rolled x x3^T.
 
     Identity: sum_w x[ci, w+dw-1] dy[co, w] = sum_w x[ci, w] dy[co, w-dw+1]
@@ -425,10 +425,23 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
     ``pre`` adds (mul, add) [C, 1] inputs applied to the DMA'd x window as
     relu(x*mul+add) — the weight grad of a conv whose (never-materialized)
     input is the previous BN+ReLU output.
+
+    ``fuse`` adds (y, ds1, ds2) inputs and a second output: the raw ``dy``
+    stream is replaced by the CBR total cotangent dY = dy + ds1 + 2*y*ds2
+    (ds* = [C, 1] f32 cotangents of the fused BN-stats output), composed in
+    VPU under the MXU shadow, and the bf16-rounded dY is ALSO written out
+    for the dx kernel — the separate XLA elementwise pass (read dy, read y,
+    write dY) disappears from the conv backward.  The f32 expression order
+    matches the old XLA pass and every bf16 rounding lands at the same point
+    (roll/mask commute with the cast); residual ULP-level differences remain
+    possible where XLA contracted the f32 multiply-adds into fmas.
     """
     refs = list(refs)
+    fuse_refs = (refs.pop(0), refs.pop(0), refs.pop(0)) if fuse else None
     pre_refs = (refs.pop(0)[:], refs.pop(0)[:]) if pre else None
-    dk_ref, xbuf, halo, sem = refs
+    dk_ref = refs.pop(0)
+    dY_ref = refs.pop(0) if fuse else None
+    xbuf, halo, sem = refs
 
     n, i = pl.program_id(0), pl.program_id(1)
     step = n * nb + i
@@ -452,6 +465,11 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
     wcol = lax.broadcasted_iota(jnp.int32, (c, BH * w), 1) % w
 
     dyf = dy_ref[0].reshape(c, BH * w).astype(jnp.float32)
+    if fuse:
+        y_ref, ds1_ref, ds2_ref = fuse_refs
+        yf = y_ref[0].reshape(c, BH * w).astype(jnp.float32)
+        dyf = dyf + ds1_ref[:] + 2.0 * yf * ds2_ref[:]
+        dY_ref[0] = dyf.astype(dY_ref.dtype).reshape(c, BH, w)
     # dw=0 tap pairs x[w-1] with dy[w] -> roll dy LEFT by 1 (dy[w+1] lands
     # at w)... careful: sum_w x[w] dy[w - (dw-1)]; dw=0 -> dy[w+1].
     dyv = [
@@ -471,8 +489,13 @@ def _dw_kernel_dyroll(x_hbm, dy_ref, *refs, nb, c, w, interpret, sub=SUB,
 
 
 def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
-                     variant="stack", pre=None, vma=None):
-    """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k)."""
+                     variant="stack", pre=None, fuse=None, vma=None):
+    """dk [3, 3, C, C] (f32) for y = conv3x3_nchw(x, k).
+
+    ``fuse`` (dyroll only) = (y, ds1, ds2): ``dy`` is the RAW y-cotangent and
+    the kernel composes the CBR total cotangent dY = dy + ds1 + 2*y*ds2
+    inline (see ``_dw_kernel_dyroll``); returns (dk, dY) with dY in x.dtype
+    for the dx kernel to consume."""
     n, c, h, w = x.shape
     nb = h // BH
     in_specs = [
@@ -480,32 +503,48 @@ def _conv3x3_dw_impl(x, dy, *, interpret=False, swap=False, sub=SUB,
         pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
     ]
     args = [x, dy]
+    kw = {} if vma is None else {"vma": vma}
     if variant == "dyroll":
         kern = functools.partial(_dw_kernel_dyroll, nb=nb, c=c, w=w,
                                  interpret=interpret, sub=sub,
-                                 pre=pre is not None)
+                                 pre=pre is not None, fuse=fuse is not None)
         out_shape = (c, 9 * c)
+        if fuse is not None:
+            in_specs += [
+                pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
+                pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0)),
+                pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0)),
+            ]
+            args += [fuse[0], fuse[1], fuse[2]]
         if pre is not None:
             in_specs += [pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0))] * 2
             args += [pre[0], pre[1]]
     else:
-        assert pre is None
+        assert pre is None and fuse is None
         kern = functools.partial(_dw_kernel, nb=nb, c=c, w=w,
                                  interpret=interpret, swap=swap, sub=sub)
         out_shape = (c, 9 * c) if swap else (9 * c, c)
-    dk = pl.pallas_call(
+    out_specs = pl.BlockSpec(out_shape, lambda nn_, ii: (0, 0))
+    out_shapes = jax.ShapeDtypeStruct(out_shape, jnp.float32, **kw)
+    if fuse is not None:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)))
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((n, c, h, w), x.dtype, **kw))
+    out = pl.pallas_call(
         kern,
         grid=(n, nb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(out_shape, lambda nn_, ii: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            out_shape, jnp.float32, **({} if vma is None else {"vma": vma})),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=_win_scratch(c, w, x.dtype),
         interpret=interpret,
     )(*args)
+    dk, dY = out if fuse is not None else (out, None)
     if variant == "dyroll":
         # columns are (dw, dh, ci); want [dh, dw, ci, co].
-        return jnp.transpose(dk.reshape(c, 3, 3, c), (2, 1, 3, 0))
+        dk = jnp.transpose(dk.reshape(c, 3, 3, c), (2, 1, 3, 0))
+        return (dk, dY) if fuse is not None else dk
     if swap:
         return jnp.transpose(dk.reshape(c, 3, 3, c), (1, 2, 3, 0))
     return dk.reshape(3, 3, c, c)
@@ -577,13 +616,9 @@ def conv3x3_nchw(x, k, interpret: bool = False):
 # fused conv + BN-stats (+ input BN-apply/ReLU) — the branch-chain CBR op
 # ---------------------------------------------------------------------------
 
-def _cbr_dY(dy, s_bar, y):
-    """Total cotangent into y when (y, s) are both consumed downstream:
-    dY = dy + ds1 + 2*y*ds2 (per channel)."""
-    ds1 = s_bar[0][None, :, None, None]
-    ds2 = s_bar[1][None, :, None, None]
-    return (dy.astype(jnp.float32) + ds1
-            + 2.0 * y.astype(jnp.float32) * ds2).astype(y.dtype)
+# The CBR total cotangent into y when (y, s) are both consumed downstream is
+# dY = dy + ds1 + 2*y*ds2 (per channel); it is composed INSIDE the dW kernel
+# (``_dw_kernel_dyroll`` with ``fuse``) rather than as a separate XLA pass.
 
 
 @functools.lru_cache(maxsize=8)
@@ -619,6 +654,18 @@ def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
             variant="kstack", vma=vma)
 
 
+    def dk_dY(x, y, cot, p=None):
+        # dW kernel with the dY composition fused into its dy stream (and
+        # the bf16 dY emitted as a side output for the dx kernel): the
+        # separate XLA pass (read dy, read y, write dY) is gone — one HBM
+        # read per conv backward saved, bit-exact (see _dw_kernel_dyroll).
+        ds1 = cot[1][0].astype(jnp.float32)[:, None]
+        ds2 = cot[1][1].astype(jnp.float32)[:, None]
+        return _conv3x3_dw_impl(
+            x, cot[0].astype(y.dtype), interpret=interpret,
+            variant=DW_VARIANT, sub=_dw_sub(x.shape[3]), pre=p,
+            fuse=(y, ds1, ds2), vma=vma)
+
     if not pre:
         @jax.custom_vjp
         def f(x, k):
@@ -630,11 +677,8 @@ def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
 
         def bwd(res, cot):
             x, k, y = res
-            dY = _cbr_dY(cot[0], cot[1], y)
+            dk, dY = dk_dY(x, y, cot)
             dx = dx_conv(dY, k)
-            dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
-                                  variant=DW_VARIANT, sub=_dw_sub(x.shape[3]),
-                                  vma=vma)
             return dx, dk
 
         f.defvjp(fwd, bwd)
@@ -650,14 +694,11 @@ def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
 
     def bwd(res, cot):
         x, k, mul, add, y = res
-        dY = _cbr_dY(cot[0], cot[1], y)
-        # dt = grad wrt the transformed input t = relu(x*mul+add).
-        dt = dx_conv(dY, k)
         p = (mul.astype(x.dtype).astype(jnp.float32)[:, None],
              add.astype(x.dtype).astype(jnp.float32)[:, None])
-        dk = _conv3x3_dw_impl(x, dY, interpret=interpret,
-                              variant=DW_VARIANT, sub=_dw_sub(x.shape[3]),
-                              pre=p, vma=vma)
+        dk, dY = dk_dY(x, y, cot, p=p)
+        # dt = grad wrt the transformed input t = relu(x*mul+add).
+        dt = dx_conv(dY, k)
         # chain through the input transform (mask from the same bf16 fma
         # the kernels applied; relu grad is 0 at exact zeros, the torch
         # convention — jax.nn.relu, not jnp.maximum).
