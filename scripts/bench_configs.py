@@ -1,13 +1,13 @@
 """Measure single-chip step throughput for every experiment config
 (BASELINE.json:7-11 shapes, synthetic feed, batches resident on device) and
 print a markdown-ready table for BASELINE.md — including an MFU estimate
+from XLA's own cost analysis (program FLOPs / wall-time / chip peak)."""
+
 import os as _os, sys as _sys
 
 # repo root on sys.path AFTER interpreter start: PYTHONPATH-based
 # injection breaks the axon PJRT plugin registration on this image.
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-
-from XLA's own cost analysis (program FLOPs / wall-time / chip peak)."""
 
 import os
 import time

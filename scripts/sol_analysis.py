@@ -2,12 +2,6 @@
 
 Computes the compiled step's total FLOPs from XLA cost analysis, divides by
 the chip's peak to get the pure-MXU floor, applies a utilization ceiling
-import os as _os, sys as _sys
-
-# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
-# injection breaks the axon PJRT plugin registration on this image.
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-
 from the model's channel structure (output channels < 128 underfill the MXU
 lanes), and compares with the measured step time to report headroom.
 
@@ -17,6 +11,12 @@ chip is busy:
   JAX_PLATFORMS=cpu python scripts/sol_analysis.py configs/5_*.yaml \
       --bl 2 --bu 2 --measured-ms 589
 """
+
+import os as _os, sys as _sys
+
+# repo root on sys.path AFTER interpreter start: PYTHONPATH-based
+# injection breaks the axon PJRT plugin registration on this image.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import os

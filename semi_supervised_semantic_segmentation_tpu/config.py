@@ -345,22 +345,24 @@ def validate(cfg: Config) -> None:
     if cfg.data.crop_size % 32 != 0:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
     r = cfg.model.remat
-    if r.startswith("stages:"):
-        tokens = r[len("stages:"):].split(",")
-        stages_ok = bool(tokens) and all(s in {"1", "2", "3", "4"} for s in tokens)
-    else:
-        stages_ok = False
+    stages_ok = False
+    for prefix in ("stages:", "branches:"):
+        if r.startswith(prefix):
+            tokens = r[len(prefix):].split(",")
+            stages_ok = bool(tokens) and all(
+                s in {"1", "2", "3", "4"} for s in tokens
+            )
     if not (r in ("none", "", "blocks", "branches") or stages_ok):
         raise ValueError(
-            f"model.remat={r!r}: expected 'none', 'blocks', 'branches', or "
-            "'stages:i,j' with single-digit stages from 1-4 (HRNet: 1 = "
-            "layer1; 'branches' checkpoints only the residual-block chains, "
-            "leaving fuse layers stored)"
+            f"model.remat={r!r}: expected 'none', 'blocks', 'branches', "
+            "'stages:i,j', or 'branches:i,j' with single-digit stages from "
+            "1-4 (HRNet: 1 = layer1; 'branches' scope checkpoints only the "
+            "residual-block chains, leaving fuse layers stored)"
         )
     # 'branches' / 'stages:' are HRNet-specific plans; ResNet backbones only
     # distinguish remat on/off, so accepting these would silently run full
     # block remat instead of what the user asked for.
-    if r in ("branches",) or r.startswith("stages:"):
+    if r in ("branches",) or r.startswith("stages:") or r.startswith("branches:"):
         if cfg.model.backbone != "hrnet_w48":
             raise ValueError(
                 f"model.remat={r!r} is an HRNet-only plan; use 'blocks' or "

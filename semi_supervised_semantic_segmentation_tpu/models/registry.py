@@ -26,8 +26,9 @@ def _remat_stages(remat: str) -> Tuple[int, ...]:
         return ()
     if remat in ("blocks", "branches"):
         return (1, 2, 3, 4)
-    if remat.startswith("stages:"):
-        return tuple(int(s) for s in remat[len("stages:"):].split(",") if s)
+    for prefix in ("stages:", "branches:"):
+        if remat.startswith(prefix):
+            return tuple(int(s) for s in remat[len(prefix):].split(",") if s)
     raise ValueError(f"unknown remat plan: {remat!r}")
 
 
@@ -46,8 +47,11 @@ class SegModel(nn.Module):
     decoder_channels: int = 256
     # Remat plan: "" / "none" = keep all activations; "blocks" = checkpoint
     # every residual block (ResNet) / layer1 + every HR module (HRNet);
-    # "stages:3,4" (HRNet only) = checkpoint just those stages — selective
-    # plans fit 1024² in HBM while recomputing less than the full plan.
+    # "stages:3,4" (HRNet only) = checkpoint just those stages;
+    # "branches" / "branches:3" (HRNet only) = checkpoint only the branch
+    # BasicBlocks (of the listed stages), keeping fuse-layer activations
+    # stored.  Selective plans fit 1024² in HBM while recomputing less than
+    # the full plan (BASELINE.md remat scan).
     remat: str = ""
     # ResNet stem formulation: 'conv' (plain) or 's2d' (space-to-depth,
     # exact same math/params — see models/layers.py::S2DStemConv).
@@ -88,7 +92,13 @@ class SegModel(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 remat_stages=_remat_stages(self.remat),
-                remat_scope="branch_blocks" if self.remat == "branches" else "module",
+                # 'branches' / 'branches:i,j' = checkpoint only the branch
+                # BasicBlocks of the remat stages, keep fuse activations.
+                remat_scope=(
+                    "branch_blocks"
+                    if self.remat.startswith("branches")
+                    else "module"
+                ),
                 fuse_impl=self.fuse_impl,
                 branch_conv=self.branch_conv,
                 dp_mesh=self.dp_mesh,

@@ -170,6 +170,42 @@ def test_config_accepts_branches_remat():
     assert cfg.model.remat == "branches"
 
 
+def test_remat_plan_parsing_and_validation():
+    """Plan strings map to (stages, scope) and bad plans are rejected."""
+    import pytest
+    from semi_supervised_semantic_segmentation_tpu.config import (
+        config_from_dict,
+    )
+    from semi_supervised_semantic_segmentation_tpu.models.registry import (
+        _remat_stages,
+    )
+
+    assert _remat_stages("stages:3") == (3,)
+    assert _remat_stages("branches:3") == (3,)
+    assert _remat_stages("branches:2,4") == (2, 4)
+    assert _remat_stages("branches") == (1, 2, 3, 4)
+
+    def mk(remat, backbone="hrnet_w48", decoder="hrnet_head"):
+        return config_from_dict(
+            {
+                "name": "t",
+                "data": {"dataset": "synthetic", "num_classes": 4,
+                         "crop_size": 64},
+                "model": {"backbone": backbone, "decoder": decoder,
+                          "remat": remat},
+                "method": {"name": "supervised"},
+            }
+        )
+
+    assert mk("branches:3").model.remat == "branches:3"
+    for bad in ("branches:", "branches:5", "stages:12", "bogus"):
+        with pytest.raises(ValueError):
+            mk(bad)
+    # HRNet-only plans rejected for ResNet backbones (advisor r2 item).
+    with pytest.raises(ValueError):
+        mk("branches:3", backbone="resnet18", decoder="unet")
+
+
 def test_s2d_stem_exactly_matches_plain_conv():
     """stem_impl='s2d' (space-to-depth stem) must match the plain stride-2
     conv stem — same params, same forward, same gradients (it is the same
