@@ -47,6 +47,13 @@ RUNS = [
 HEADLINE = "configs/3_fixmatch_dlv3p_r50_voc_512.yaml"
 WARMUP = 3
 
+# Rows whose wall time is dominated by the relay's per-step dispatch rather
+# than device compute (config 1's device time is ~3.4 ms vs 4-6 ms wall —
+# BASELINE.md round-3 note).  Their img/s swings with relay load, so the
+# emitted row carries a self-describing flag (VERDICT r3 item 7): treat the
+# number as a smoke signal, not a perf trend.
+DISPATCH_NOISY = {"configs/1_supervised_unet_r18_128.yaml"}
+
 
 def bench_config(path: str, bl: int, bu: int, iters: int, mesh_lib, mesh):
     from semi_supervised_semantic_segmentation_tpu.config import (
@@ -109,12 +116,16 @@ def bench_config(path: str, bl: int, bu: int, iters: int, mesh_lib, mesh):
     per_chip = n_img / dt / len(jax.devices())
     # free HBM before the next (larger) config
     del state, step, lab, args, metrics
-    return {
+    row = {
         "name": cfg.name,
         "batch": f"{bl}+{bu if method.uses_unlabeled else 0}@{crop}",
         "ms_step": round(dt * 1e3, 1),
         "img_s_chip": round(per_chip, 2),
     }
+    if path in DISPATCH_NOISY:
+        row["dispatch_noise"] = True
+        row["note"] = "wall time ~half relay dispatch at this tiny step (device ~3.4 ms); img/s swings with relay load"
+    return row
 
 
 def main():

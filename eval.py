@@ -21,7 +21,7 @@ from semi_supervised_semantic_segmentation_tpu.data.pipeline import Loader
 from semi_supervised_semantic_segmentation_tpu.engine.checkpoint import CheckpointManager
 from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
     inference_variables,
-    make_eval_step,
+    make_evaluator,
     run_eval,
 )
 from semi_supervised_semantic_segmentation_tpu.methods import get_method
@@ -87,7 +87,7 @@ def main():
         build_dataset(cfg, "val"), cfg.train.eval_batch_size, shuffle=False,
         drop_last=False, pad_mode="blank", num_workers=cfg.data.num_workers,
     )
-    eval_step = jax.jit(make_eval_step(cfg, model))
+    eval_step = make_evaluator(cfg, model)
     params, stats = inference_variables(state, method)
     if args.save_preds:
         from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (

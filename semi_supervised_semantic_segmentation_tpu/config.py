@@ -66,6 +66,17 @@ class DataConfig:
     # input scales (sizes snap to the encoder stride).
     eval_flip: bool = False
     eval_scales: Tuple[float, ...] = (1.0,)
+    # TTA program structure: 'fused' unrolls every window x scale x flip
+    # into ONE jitted program (fine at train-loop shapes); 'staged' runs one
+    # jitted program PER SCALE with all same-shape windows stacked into one
+    # batched forward (flip folded in) and sums probabilities on host —
+    # same math, compile time linear in #scales instead of one giant
+    # program (the production 1024x2048 protocol).  'auto' picks staged
+    # when the program would multiply (sliding+TTA or >2 scales).
+    eval_impl: str = "auto"  # auto | fused | staged
+    # Staged evaluator: cap on windows per batched forward (0 = all K
+    # windows of a scale in one forward; lower it if HBM is tight).
+    eval_window_batch: int = 0
 
 
 @dataclass(frozen=True)
@@ -94,6 +105,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype
     aspp_dilations: Tuple[int, ...] = (6, 12, 18)
     decoder_channels: int = 256
+    # HRNet sizing (test/dryrun surface): branch-0 width and per-stage module
+    # counts.  The production config-5 values are the defaults; miniaturized
+    # models (width 8, modules (1,1,1)) exercise the exact same code path.
+    hrnet_width: int = 48
+    hrnet_modules: Tuple[int, int, int] = (1, 4, 3)
 
 
 @dataclass(frozen=True)
@@ -309,6 +325,7 @@ _VALID = {
     "data.aug_impl": {"matmul", "gather"},
     "data.cutmix_impl": {"xla", "pallas"},
     "data.eval_mode": {"whole", "sliding"},
+    "data.eval_impl": {"auto", "fused", "staged"},
     "model.backbone": {"resnet18", "resnet50", "resnet101", "hrnet_w48"},
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
     "model.stem_impl": {"conv", "s2d"},
@@ -344,6 +361,8 @@ def validate(cfg: Config) -> None:
         )
     if cfg.data.crop_size % 32 != 0:
         raise ValueError("crop_size must be a multiple of 32 (encoder stride)")
+    if cfg.data.eval_window_batch < 0:
+        raise ValueError("data.eval_window_batch must be >= 0 (0 = no chunking)")
     r = cfg.model.remat
     stages_ok = False
     for prefix in ("stages:", "branches:"):

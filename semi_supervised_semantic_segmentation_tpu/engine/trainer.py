@@ -25,7 +25,7 @@ from semi_supervised_semantic_segmentation_tpu.data.pipeline import DualLoader, 
 from semi_supervised_semantic_segmentation_tpu.engine.checkpoint import CheckpointManager
 from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
     inference_variables,
-    make_eval_step,
+    make_evaluator,
     run_eval,
 )
 from semi_supervised_semantic_segmentation_tpu.methods import get_method
@@ -98,7 +98,7 @@ class Trainer:
 
         train_step = self.method.make_train_step(cfg, self.model, self.total_steps)
         self.train_step = jax.jit(train_step, donate_argnums=0)
-        self.eval_step = jax.jit(make_eval_step(cfg, self.model))
+        self.eval_step = make_evaluator(cfg, self.model)
 
         os.makedirs(cfg.train.work_dir, exist_ok=True)
         save_config(cfg, os.path.join(cfg.train.work_dir, "config.yaml"))

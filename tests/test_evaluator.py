@@ -200,3 +200,100 @@ def test_eval_scales_validation():
 
     with pytest.raises(ValueError, match="eval_scales"):
         tiny_cfg("supervised", crop=32, **{"data.eval_scales": [0.0, 1.0]})
+
+
+def _staged_fixture(**extra):
+    from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+        make_staged_eval_step,
+    )
+
+    cfg = tiny_cfg(
+        "supervised", crop=32,
+        **{
+            "data.eval_mode": "sliding",
+            "data.eval_stride": 24,
+            "data.eval_flip": True,
+            "data.eval_scales": [0.75, 1.0, 1.5],
+            **extra,
+        },
+    )
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(4), 10)
+    rng = np.random.RandomState(9)
+    batch = {
+        "image": (rng.rand(1, 48, 96, 3) * 255).astype(np.uint8),
+        "label": rng.randint(0, 4, (1, 48, 96)).astype(np.int32),
+        "size": np.asarray([[48, 96]], np.int32),
+    }
+    return cfg, model, state, batch, make_staged_eval_step
+
+
+@pytest.mark.slow
+def test_staged_equals_fused_sliding_tta():
+    """The staged per-scale evaluator (batched window forwards, host scale
+    sum) computes the SAME protocol as the fused one-program path: sliding
+    windows + flip + multi-scale on a non-square canvas."""
+    cfg, model, state, batch, make_staged = _staged_fixture()
+    cm_fused = np.asarray(
+        jax.jit(make_eval_step(cfg, model))(state.params, state.batch_stats, batch)
+    )
+    cm_staged = np.asarray(
+        make_staged(cfg, model)(state.params, state.batch_stats, batch)
+    )
+    np.testing.assert_array_equal(cm_fused, cm_staged)
+    assert cm_staged.sum() == 48 * 96
+
+
+@pytest.mark.slow
+def test_staged_window_batch_chunking_matches():
+    """eval_window_batch chunks the batched window forward without changing
+    the result."""
+    cfg, model, state, batch, make_staged = _staged_fixture()
+    cfg_chunk, *_ = _staged_fixture(**{"data.eval_window_batch": 3})
+    cm_all = np.asarray(
+        make_staged(cfg, model)(state.params, state.batch_stats, batch)
+    )
+    cm_chunk = np.asarray(
+        make_staged(cfg_chunk, model)(state.params, state.batch_stats, batch)
+    )
+    np.testing.assert_array_equal(cm_all, cm_chunk)
+
+
+def test_use_staged_auto_routing():
+    from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+        use_staged,
+    )
+
+    # Config-5-like: sliding + flip + 6 scales -> staged.
+    assert use_staged(
+        tiny_cfg(
+            "supervised", crop=32,
+            **{
+                "data.eval_mode": "sliding",
+                "data.eval_flip": True,
+                "data.eval_scales": [0.5, 0.75, 1.0, 1.25, 1.5, 1.75],
+            },
+        )
+    )
+    # Plain whole-image eval (the train-loop path) -> fused.
+    assert not use_staged(tiny_cfg("supervised", crop=32))
+    # Whole-image + flip only -> fused (one extra forward, no blowup).
+    assert not use_staged(
+        tiny_cfg("supervised", crop=32, **{"data.eval_flip": True})
+    )
+    # Explicit override wins.
+    assert use_staged(
+        tiny_cfg("supervised", crop=32, **{"data.eval_impl": "staged"})
+    )
+    assert not use_staged(
+        tiny_cfg(
+            "supervised", crop=32,
+            **{
+                "data.eval_impl": "fused",
+                "data.eval_mode": "sliding",
+                "data.eval_flip": True,
+                "data.eval_scales": [0.5, 1.0, 1.5],
+            },
+        )
+    )
