@@ -92,7 +92,7 @@ def main():
         # Materialize the loss VALUE: on the axon-relayed backend
         # block_until_ready (scalar or full tree) can return before the
         # enqueued programs drain, under-reporting large steps by >5x
-        # (see scripts/profile.py step).  device_get cannot lie.
+        # (see scripts/profiler.py step).  device_get cannot lie.
         float(m["loss"])
         dt = (time.perf_counter() - t0) / ITERS
         n_img = bl + (bu if method.uses_unlabeled else 0)

@@ -4,7 +4,7 @@ perf_probe.py, probe45.py, trace_summary.py, compile_bisect.py).
 Subcommands:
 
   step        Time one config's full train step with CLI overrides:
-                python scripts/profile.py step configs/5_hrnet_w48_1024_full_ssl.yaml \
+                python scripts/profiler.py step configs/5_hrnet_w48_1024_full_ssl.yaml \
                     --set model.remat= --bl 2 --bu 2 [--profile /tmp/trace]
                 [--per-dispatch] [--fetch-each]
   components  Time the step's pieces on the 512^2 bench shape (aug cores,
@@ -13,7 +13,7 @@ Subcommands:
   compile     Bisect trace/lower/compile time of the bench step's components.
   trace       Summarize a jax.profiler xplane trace (per-HLO-op device time):
                 PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-                python scripts/profile.py trace /tmp/trace5 [--top 40]
+                python scripts/profiler.py trace /tmp/trace5 [--top 40]
 
 Timing methodology (BASELINE.md): warmup materializes a loss VALUE
 (``float(loss)``) because on the axon-relayed chip ``block_until_ready`` can
@@ -110,7 +110,7 @@ def _bench_step(name, cfg, method_name, b=8, iters=10, profile=False):
 # ----------------------------------------------------------------------------
 
 def cmd_step(argv):
-    ap = argparse.ArgumentParser(prog="profile.py step")
+    ap = argparse.ArgumentParser(prog="profiler.py step")
     ap.add_argument("config")
     ap.add_argument("--set", action="append", default=[])
     ap.add_argument("--bl", type=int, default=2)
@@ -187,7 +187,7 @@ def cmd_step(argv):
 # ----------------------------------------------------------------------------
 
 def cmd_components(argv):
-    ap = argparse.ArgumentParser(prog="profile.py components")
+    ap = argparse.ArgumentParser(prog="profiler.py components")
     ap.add_argument("--scale", action="store_true", help="batch scaling 4/8/16")
     ap.add_argument("--cutmix", action="store_true", help="XLA vs Pallas CutMix")
     args = ap.parse_args(argv)
@@ -253,7 +253,7 @@ def cmd_components(argv):
 # ----------------------------------------------------------------------------
 
 def cmd_compile(argv):
-    argparse.ArgumentParser(prog="profile.py compile").parse_args(argv)
+    argparse.ArgumentParser(prog="profiler.py compile").parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -328,7 +328,7 @@ def _bucket(name: str) -> str:
 
 
 def cmd_trace(argv):
-    ap = argparse.ArgumentParser(prog="profile.py trace")
+    ap = argparse.ArgumentParser(prog="profiler.py trace")
     ap.add_argument("logdir")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--raw", action="store_true", help="don't bucket op names")
@@ -388,7 +388,7 @@ def cmd_copies(argv):
     small, activation-shaped = batch-leading).  Distinguishes whether the
     config-5 copy tax is weight-layout processing (batch-independent) or
     activation relayouts (batch-scaling) — see BASELINE.md round-3 notes."""
-    ap = argparse.ArgumentParser(prog="profile.py copies")
+    ap = argparse.ArgumentParser(prog="profiler.py copies")
     ap.add_argument("config")
     ap.add_argument("--set", action="append", default=[])
     ap.add_argument("--bl", type=int, default=2)
@@ -470,5 +470,5 @@ COMMANDS = {
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in COMMANDS:
-        sys.exit(f"usage: profile.py {{{'|'.join(COMMANDS)}}} ...")
+        sys.exit(f"usage: profiler.py {{{'|'.join(COMMANDS)}}} ...")
     COMMANDS[sys.argv[1]](sys.argv[2:])
