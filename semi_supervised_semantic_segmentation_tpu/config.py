@@ -328,7 +328,7 @@ _VALID = {
     "data.eval_impl": {"auto", "fused", "staged"},
     "model.backbone": {"resnet18", "resnet50", "resnet101", "hrnet_w48"},
     "model.decoder": {"unet", "deeplabv3plus", "hrnet_head"},
-    "model.stem_impl": {"conv", "s2d"},
+    "model.stem_impl": {"conv", "s2d", "pallas"},
     "model.fuse_impl": {"conv", "s2d"},
     "model.head_fuse": {"conv_first", "up_first"},
     "model.branch_conv": {"xla", "pallas"},

@@ -249,6 +249,10 @@ class ConvNormAct(nn.Module):
     # Compute a stride-2 small-Cin conv via space-to-depth (see S2DStemConv)
     # — exact same math and param layout, 4x denser MXU input feed.
     s2d: bool = False
+    # Stride-2 Cin=3 stem via the im2col-stacked pallas kernel
+    # (ops/pallas_stem.py) — K=256 contraction lanes instead of 3.  Falls
+    # back to the plain conv for unsupported shapes; exact same params.
+    pallas_stem: bool = False
     # When set (a jax.sharding.Mesh with a >1 'model' axis), stride-2 convs
     # run H-sharded under shard_map with halo exchange (SpatialConv).
     spatial_mesh: Any = None
@@ -296,6 +300,11 @@ class ConvNormAct(nn.Module):
                 self.features, self.kernel, mesh=self.spatial_mesh,
                 dtype=self.dtype, name="Conv_0",
             )(x)
+        elif self.pallas_stem:
+            assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
+            x = PallasStemConv(
+                self.features, self.kernel, dtype=self.dtype, name="Conv_0"
+            )(x)
         elif self.s2d:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
             # name pinned to 'Conv_0' so the param path matches the nn.Conv
@@ -332,6 +341,120 @@ def max_pool_same_as_torch(x, window: int = 3, stride: int = 2, pad: int = 1):
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
     )
+
+
+class PallasStemConv(nn.Module):
+    """Stride-2 small-Cin stem conv through ops/pallas_stem.py (the im2col-
+    stacked MXU kernel; see that module's header for the formulation and
+    measured numbers).  Param layout identical to nn.Conv (``kernel``
+    [k,k,3,features] f32, callers pin name='Conv_0') so checkpoints and
+    torch-weight imports are unchanged.  Unsupported shapes, init, and
+    conv-eligibility failures fall back to the numerically equivalent
+    XLA convolution.
+
+    ``with_stats=True`` returns the kernel's fused-BN form instead:
+    (NCHW y, [2, features] f32 (sum, sum-of-squares) batch stats)."""
+
+    features: int
+    kernel: Tuple[int, int] = (7, 7)
+    dtype: Any = jnp.bfloat16
+    with_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from semi_supervised_semantic_segmentation_tpu.ops import pallas_stem
+
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        usable = pallas_stem.supported(x.shape, self.kernel, (2, 2))
+        if self.is_initializing() or not usable:
+            assert not self.with_stats, "callers gate the fused form"
+            pad = ((kh - 1) // 2, (kh - 1) // 2)
+            return jax.lax.conv_general_dilated(
+                x, w.astype(self.dtype), (2, 2), (pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        on_cpu = jax.default_backend() == "cpu"
+        # w stays f32: _pack_w casts to the compute dtype inside, and the
+        # VJP then returns an f32 weight cotangent matching the param.
+        if self.with_stats:
+            return pallas_stem.stem_conv_bn_s2(x, w, on_cpu)
+        return pallas_stem.stem_conv_s2(x, w, on_cpu)
+
+
+class PallasStemSegment(nn.Module):
+    """Stem conv + BatchNorm + ReLU + 3x3/s2 maxpool as one NCHW segment.
+
+    The pallas stem kernel (ops/pallas_stem.py) emits NCHW activations plus
+    fused BN batch stats; BN apply, ReLU, and the maxpool then run NCHW —
+    W sits in dense 128 lanes instead of NHWC's half-empty 64-channel lane
+    dim — and ONE transpose back to NHWC happens at the 4x-smaller maxpool
+    output (the c1 tap's transpose is dead code for decoders that don't
+    consume it).  Exact same math and param tree as the plain
+    ConvNormAct(7x7, s2) + max_pool_same_as_torch path, which is also the
+    fallback for unsupported shapes/init.  Returns (pooled, c1), NHWC."""
+
+    features: int
+    kernel: Tuple[int, int] = (7, 7)
+    norm: str = "batchnorm"
+    bn_momentum: float = 0.9
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from semi_supervised_semantic_segmentation_tpu.ops import pallas_stem
+
+        usable = (
+            pallas_stem.supported(x.shape, self.kernel, (2, 2))
+            and self.norm == "batchnorm"
+        )
+        if self.is_initializing() or not usable:
+            # numerically identical NHWC path, identical param tree (the
+            # unnamed nn.Conv/Norm take the same auto names Conv_0/Norm_0
+            # as in ConvNormAct).
+            kh, kw = self.kernel
+            pad = ((kh - 1) // 2, (kw - 1) // 2)
+            y = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=(2, 2),
+                padding=((pad[0], pad[0]), (pad[1], pad[1])),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x.astype(self.dtype))
+            y = Norm(self.norm, self.bn_momentum, self.dtype)(y, train)
+            y = nn.relu(y)
+            return max_pool_same_as_torch(y), y
+        y, s = PallasStemConv(
+            self.features, self.kernel, dtype=self.dtype, with_stats=True,
+            name="Conv_0",
+        )(x)
+        n, c, h2, w2 = y.shape
+        fold = Norm(self.norm, self.bn_momentum, self.dtype)(
+            None, train, sums=s, count=n * h2 * w2)
+        mul, add = fold
+        # same fma expression/rounding as TorchBatchNorm's NHWC apply
+        y = nn.relu(y * mul.astype(self.dtype)[None, :, None, None]
+                    + add.astype(self.dtype)[None, :, None, None])
+        # init must be a concrete scalar so lax recognizes the max monoid
+        # (otherwise the generic reduce_window has no reverse-mode rule).
+        pooled = jax.lax.reduce_window(
+            y,
+            -jnp.inf,
+            jax.lax.max,
+            (1, 1, 3, 3),
+            (1, 1, 2, 2),
+            ((0, 0), (0, 0), (1, 1), (1, 1)),
+        )
+        return pooled.transpose(0, 2, 3, 1), y.transpose(0, 2, 3, 1)
 
 
 class S2DStemConv(nn.Module):

@@ -22,6 +22,7 @@ from flax import linen as nn
 from semi_supervised_semantic_segmentation_tpu.models.layers import (
     ConvNormAct,
     Norm,
+    PallasStemSegment,
     max_pool_same_as_torch,
 )
 
@@ -172,7 +173,8 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False  # checkpoint each residual block (memory vs FLOPs)
     # 'conv' = plain stride-2 7x7; 's2d' = same conv via 2x2 space-to-depth
-    # (exact, same params; 4x denser MXU feed for the Cin=3 stem).
+    # (exact, same params; 4x denser MXU feed for the Cin=3 stem); 'pallas'
+    # = the im2col-stacked MXU kernel (ops/pallas_stem.py, K=256 lanes).
     stem_impl: str = "conv"
 
     @property
@@ -198,18 +200,28 @@ class ResNet(nn.Module):
             strides[2], dilations[2], prev_dilations[2] = 1, 2, 1
             strides[3], dilations[3], prev_dilations[3] = 1, 4, 2
 
-        x = ConvNormAct(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            norm=self.norm,
-            bn_momentum=self.bn_momentum,
-            dtype=self.dtype,
-            s2d=(self.stem_impl == "s2d"),
-            name="stem",
-        )(x, train)
-        c1 = x  # stride 2
-        x = max_pool_same_as_torch(x)
+        if self.stem_impl == "pallas":
+            # NCHW stem segment (ops/pallas_stem.py): the kernel emits NCHW
+            # y + fused BN batch stats; BN apply/ReLU/maxpool run NCHW (W in
+            # dense lanes instead of the 64-ch half-empty NHWC lane dim) and
+            # ONE transpose back to NHWC happens at the 4x-smaller maxpool
+            # output.  Same math and param tree as the plain stem.
+            x, c1 = PallasStemSegment(
+                64, (7, 7), norm=self.norm, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="stem")(x, train)
+        else:
+            x = ConvNormAct(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                norm=self.norm,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                s2d=(self.stem_impl == "s2d"),
+                name="stem",
+            )(x, train)
+            c1 = x  # stride 2
+            x = max_pool_same_as_torch(x)
 
         taps = {"c1": c1}
         planes = (64, 128, 256, 512)

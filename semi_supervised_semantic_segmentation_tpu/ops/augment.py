@@ -150,45 +150,54 @@ def color_jitter_single(
     return out
 
 
+def _blur_band(sigma: jnp.ndarray, size: int, kernel_size: int) -> jnp.ndarray:
+    """(B, size+2r, size) banded blur matrix, built elementwise (no gather).
+
+    Entry [b, p, q] is sample b's normalized gaussian tap at offset
+    p - q - r (zero outside the k-tap band), so that for a reflect-padded
+    signal xp of length size+2r, ``xp @ band`` is the k-tap blur.  The taps
+    are a smooth function of the offset, so the whole matrix is one exp()
+    over a (B, size+2r, size) iota grid — cheaper and simpler than building
+    tap vectors and scattering them into a matrix.
+    """
+    r = kernel_size // 2
+    t = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    inv2s2 = 1.0 / (2.0 * sigma.astype(jnp.float32) ** 2)  # (B,)
+    norm = jnp.sum(jnp.exp(-(t**2) * inv2s2[:, None]), axis=1)  # (B,)
+    p = jnp.arange(size + 2 * r, dtype=jnp.float32)[:, None]
+    q = jnp.arange(size, dtype=jnp.float32)[None, :]
+    d = p - q - r  # tap offset
+    band = jnp.exp(-(d**2)[None] * inv2s2[:, None, None])
+    return jnp.where(jnp.abs(d)[None] <= r, band, 0.0) / norm[:, None, None]
+
+
 def gaussian_blur(
     img: jnp.ndarray, sigma: jnp.ndarray, kernel_size: int
 ) -> jnp.ndarray:
     """Separable Gaussian blur of (B, H, W, C) with per-sample sigma.
 
     torchvision GaussianBlur semantics: gaussian taps normalized to sum 1,
-    reflect padding.  Per-sample kernels are expressed as ONE depthwise
-    (grouped) convolution per axis by folding the batch into the channel
-    axis — two compact XLA conv ops instead of an unrolled tap sum (compile
-    time and VPU efficiency both depend on this).
+    reflect padding.  Each axis pass is ONE batched matmul against a banded
+    (B, size+2r, size) matrix built elementwise from the gaussian — the
+    per-sample kernels ride the MXU instead of a feature_group_count=B*C
+    depthwise convolution (which TPUs execute serially per group: 2.62 ms
+    vs 1.06 ms for the band form at 8x512^2, k=51, round 4).  HIGHEST
+    precision keeps the matmul in true f32 (the conv path's default bf16
+    operands drifted ~4e-3).
     """
     b, h, w, c = img.shape
     r = kernel_size // 2
-    k = kernel_size
-    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    wts = jnp.exp(-(x**2) / (2.0 * sigma[:, None] ** 2))  # (B, k)
-    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
-
     orig_dtype = img.dtype
-    # (B,H,W,C) -> (1,H,W,C*B): batch folded into channels; per-channel
-    # kernels replicate each sample's taps across its C channels.
-    lhs = jnp.moveaxis(img.astype(jnp.float32), 0, -1).reshape(1, h, w, c * b)
-    # (k, B) -> (k, C, B) -> (k, C*B)
-    taps = jnp.broadcast_to(wts.T[:, None, :], (k, c, b)).reshape(k, c * b)
+    xf = img.astype(jnp.float32)
+    prec = jax.lax.Precision.HIGHEST
 
-    dn = jax.lax.conv_dimension_numbers(
-        lhs.shape, (1, k, 1, c * b), ("NHWC", "HWIO", "NHWC")
-    )
-    lhs = jnp.pad(lhs, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
-    lhs = jax.lax.conv_general_dilated(
-        lhs, taps.reshape(1, k, 1, c * b), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=c * b,
-    )
-    lhs = jnp.pad(lhs, ((0, 0), (r, r), (0, 0), (0, 0)), mode="reflect")
-    lhs = jax.lax.conv_general_dilated(
-        lhs, taps.reshape(k, 1, 1, c * b), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=c * b,
-    )
-    out = jnp.moveaxis(lhs.reshape(h, w, c, b), -1, 0)
+    band_w = _blur_band(sigma, w, kernel_size)
+    xp = jnp.pad(xf, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+    y = jnp.einsum("bhpc,bpq->bhqc", xp, band_w, precision=prec)
+
+    band_h = band_w if h == w else _blur_band(sigma, h, kernel_size)
+    yp = jnp.pad(y, ((0, 0), (r, r), (0, 0), (0, 0)), mode="reflect")
+    out = jnp.einsum("bpqc,bpi->biqc", yp, band_h, precision=prec)
     return out.astype(orig_dtype)
 
 
