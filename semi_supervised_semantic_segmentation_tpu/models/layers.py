@@ -303,7 +303,8 @@ class ConvNormAct(nn.Module):
         elif self.pallas_stem:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
             x = PallasStemConv(
-                self.features, self.kernel, dtype=self.dtype, name="Conv_0"
+                self.features, self.kernel, dtype=self.dtype,
+                dp_mesh=self.dp_mesh, name="Conv_0"
             )(x)
         elif self.s2d:
             assert self.strides == (2, 2) and self.dilation == (1, 1) and not self.use_bias
@@ -359,6 +360,10 @@ class PallasStemConv(nn.Module):
     kernel: Tuple[int, int] = (7, 7)
     dtype: Any = jnp.bfloat16
     with_stats: bool = False
+    # Mesh with a >1 'data' axis: run the kernel data-sharded under
+    # shard_map with a [2, features] stats psum (GSPMD cannot partition
+    # the opaque custom call — see ops/pallas_stem.py::stem_conv_bn_s2).
+    dp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -376,17 +381,23 @@ class PallasStemConv(nn.Module):
         usable = pallas_stem.supported(x.shape, self.kernel, (2, 2))
         if self.is_initializing() or not usable:
             assert not self.with_stats, "callers gate the fused form"
-            pad = ((kh - 1) // 2, (kh - 1) // 2)
+            pad = ((kh - 1) // 2, (kw - 1) // 2)
             return jax.lax.conv_general_dilated(
-                x, w.astype(self.dtype), (2, 2), (pad, pad),
+                x, w.astype(self.dtype), (2, 2),
+                ((pad[0], pad[0]), (pad[1], pad[1])),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         on_cpu = jax.default_backend() == "cpu"
         # w stays f32: _pack_w casts to the compute dtype inside, and the
         # VJP then returns an f32 weight cotangent matching the param.
+        # The kernel's VJP returns a hard-zero x-cotangent by design (the
+        # stem input is data); make that contract explicit here so any
+        # placement that needs input gradients (e.g. adversarial
+        # perturbation) sees a stop_gradient, not a silent wrong grad.
+        x = jax.lax.stop_gradient(x)
         if self.with_stats:
-            return pallas_stem.stem_conv_bn_s2(x, w, on_cpu)
-        return pallas_stem.stem_conv_s2(x, w, on_cpu)
+            return pallas_stem.stem_conv_bn_s2(x, w, on_cpu, self.dp_mesh)
+        return pallas_stem.stem_conv_s2(x, w, on_cpu, self.dp_mesh)
 
 
 class PallasStemSegment(nn.Module):
@@ -406,6 +417,8 @@ class PallasStemSegment(nn.Module):
     norm: str = "batchnorm"
     bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
+    # Mesh with a >1 'data' axis (see PallasStemConv.dp_mesh).
+    dp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -435,7 +448,7 @@ class PallasStemSegment(nn.Module):
             return max_pool_same_as_torch(y), y
         y, s = PallasStemConv(
             self.features, self.kernel, dtype=self.dtype, with_stats=True,
-            name="Conv_0",
+            dp_mesh=self.dp_mesh, name="Conv_0",
         )(x)
         n, c, h2, w2 = y.shape
         fold = Norm(self.norm, self.bn_momentum, self.dtype)(

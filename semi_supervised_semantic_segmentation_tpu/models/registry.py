@@ -63,8 +63,9 @@ class SegModel(nn.Module):
     branch_conv: str = "xla"
     # HRNetV2 head fuse order: 'conv_first' | 'up_first' (models/hrnet.py).
     head_fuse: str = "conv_first"
-    # Mesh with a >1 'data' axis: the pallas branch kernels run data-sharded
-    # under shard_map (GSPMD cannot partition the opaque custom call).
+    # Mesh with a >1 'data' axis: the pallas branch/stem kernels run data-
+    # sharded under shard_map (GSPMD cannot partition the opaque custom
+    # call).
     dp_mesh: Any = None
     # Mesh for spatial (H) sharding of the HRNet stem (model axis > 1).
     spatial_mesh: Any = None
@@ -81,6 +82,7 @@ class SegModel(nn.Module):
                 dtype=self.dtype,
                 remat=(self.remat not in ("", "none")),
                 stem_impl=self.stem_impl,
+                dp_mesh=self.dp_mesh,
                 name="encoder",
             )(x, train)
         elif self.backbone == "hrnet_w48":
@@ -174,7 +176,8 @@ def build_model(cfg: Config, mesh: Any = None) -> SegModel:
         dp_mesh=(
             mesh
             if (mesh is not None and dict(mesh.shape).get("data", 1) > 1
-                and cfg.model.branch_conv == "pallas")
+                and (cfg.model.branch_conv == "pallas"
+                     or cfg.model.stem_impl == "pallas"))
             else None
         ),
         spatial_mesh=spatial_mesh,

@@ -176,6 +176,9 @@ class ResNet(nn.Module):
     # (exact, same params; 4x denser MXU feed for the Cin=3 stem); 'pallas'
     # = the im2col-stacked MXU kernel (ops/pallas_stem.py, K=256 lanes).
     stem_impl: str = "conv"
+    # Mesh with a >1 'data' axis for the pallas stem's data-sharded
+    # shard_map (GSPMD cannot partition the opaque custom call).
+    dp_mesh: Any = None
 
     @property
     def feature_channels(self) -> Tuple[int, int, int, int, int]:
@@ -208,7 +211,7 @@ class ResNet(nn.Module):
             # output.  Same math and param tree as the plain stem.
             x, c1 = PallasStemSegment(
                 64, (7, 7), norm=self.norm, bn_momentum=self.bn_momentum,
-                dtype=self.dtype, name="stem")(x, train)
+                dtype=self.dtype, dp_mesh=self.dp_mesh, name="stem")(x, train)
         else:
             x = ConvNormAct(
                 64,

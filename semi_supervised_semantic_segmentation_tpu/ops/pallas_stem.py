@@ -266,7 +266,13 @@ def _unpack_dk(dk2, k, cin, co):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def stem_conv_bn_s2(x, w, interpret: bool = False):
+def _stem_conv_bn_core(x, w, interpret: bool = False):
+    """Single-shard core of :func:`stem_conv_bn_s2` (custom-VJP'd)."""
+    (y, s), _ = _stem_fwd_rule(x, w, interpret)
+    return y, s
+
+
+def stem_conv_bn_s2(x, w, interpret: bool = False, mesh=None):
     """NHWC [N,H,W,3] x [k,k,3,Co] stride-2 SAME conv -> (NCHW y, [2,Co]
     f32 (sum, sum-of-squares) of y — the next BatchNorm's batch stats).
 
@@ -275,9 +281,32 @@ def stem_conv_bn_s2(x, w, interpret: bool = False):
     once).  The VJP folds the stats cotangent into the weight grad
     (dY = dy + ds0 + 2*y*ds1, composed in-kernel) and returns a zero
     x-cotangent (the stem input is data) plus an f32 weight grad.
+
+    ``mesh`` (a Mesh whose 'data' axis is > 1): run under ``shard_map``
+    with the batch on 'data' — GSPMD treats the opaque tpu_custom_call as
+    non-partitionable, so without this a batch-sharded input would be
+    all-gathered and every chip would compute the full global batch (same
+    rationale as ops/pallas_conv.py::conv3x3_bn_nchw).  One [2, Co] psum
+    restores the global BN statistics (SyncBN semantics); the replicated
+    weight's cotangent is psummed by the shard_map transpose.
     """
-    (y, s), _ = _stem_fwd_rule(x, w, interpret)
-    return y, s
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return _stem_conv_bn_core(x, w, interpret)
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.7 top-level API
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local(xs, ws):
+        y, s = _stem_conv_bn_core(xs, ws, interpret)
+        return y, jax.lax.psum(s, "data")
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=(P("data"), P()), check_vma=False,
+    )(x, w)
 
 
 def _stem_fwd_rule(x, w, interpret):
@@ -305,11 +334,11 @@ def _stem_bwd_rule(interpret, res, cts):
     return dx, dw
 
 
-stem_conv_bn_s2.defvjp(_stem_fwd_rule, _stem_bwd_rule)
+_stem_conv_bn_core.defvjp(_stem_fwd_rule, _stem_bwd_rule)
 
 
-def stem_conv_s2(x, w, interpret: bool = False):
+def stem_conv_s2(x, w, interpret: bool = False, mesh=None):
     """NHWC-in/NHWC-out stride-2 stem conv (drop-in for the plain conv; the
     BN-stats output is discarded, its cotangent is zero)."""
-    y, _ = stem_conv_bn_s2(x, w, interpret)
+    y, _ = stem_conv_bn_s2(x, w, interpret, mesh)
     return y.transpose(0, 2, 3, 1)

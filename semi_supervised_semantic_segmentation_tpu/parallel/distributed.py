@@ -4,8 +4,10 @@ The data-parallel code is already multi-host clean: the mesh is built over
 ``jax.devices()`` (global after distributed init), batches are sharded on
 'data', and GSPMD emits the collectives.  The only host-side work is calling
 ``jax.distributed.initialize()`` before any backend use, and restricting
-host-side batch assembly to each process's addressable shard (a
-per-process ``Loader`` over an id-subset — follow-up for real pods).
+host-side batch assembly to each process's addressable shard — implemented:
+``data/pipeline.py`` slices the id-list per process
+(``Loader(process_index, process_count)``) and ``tests/test_multihost_loader.py``
+pins that the per-process shards partition the global order exactly.
 
 ``maybe_initialize()`` is called by train.py; it triggers when standard
 coordinator env vars are present (JAX_COORDINATOR_ADDRESS / cloud-TPU pod

@@ -186,3 +186,43 @@ def test_hrmodule_pallas_dp_mesh_equals_unsharded():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=str(pa))
+
+
+def test_pallas_stem_shard_map_equals_unsharded():
+    """stem_conv_bn_s2 under a data>1 mesh runs per-shard via shard_map
+    with the [2, Co] BN sums psummed — outputs, stats, and the weight
+    gradient must equal the unsharded op (ADVICE r4: the pallas stem must
+    not force replication under DP)."""
+    from semi_supervised_semantic_segmentation_tpu.ops import pallas_stem
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.rand(8, 64, 256, 3).astype(np.float32)).astype(
+        jnp.bfloat16)
+    w = jnp.asarray((rng.rand(7, 7, 3, 64).astype(np.float32) - 0.5) * 0.2)
+    co = jnp.asarray(rng.randn(8, 64, 32, 128).astype(np.float32))
+    cs = jnp.asarray(rng.randn(2, 64).astype(np.float32) * 0.1)
+
+    mesh = mesh_lib.make_mesh()
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None, None, None)))
+
+    ref_f = lambda x_, w_: pallas_stem.stem_conv_bn_s2(x_, w_, True)
+    sh_f = lambda x_, w_: pallas_stem.stem_conv_bn_s2(x_, w_, True, mesh)
+
+    y0, s0 = jax.jit(ref_f)(x, w)
+    y1, s1 = jax.jit(sh_f)(xs, w)
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y0, np.float32), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-3)
+
+    def loss(fn, x_, w_):
+        y, s = fn(x_, w_)
+        return jnp.vdot(y.astype(jnp.float32), co) + jnp.vdot(s, cs)
+
+    g0 = jax.jit(jax.grad(lambda w_: loss(ref_f, x, w_)))(w)
+    g1 = jax.jit(jax.grad(lambda w_: loss(sh_f, xs, w_)))(w)
+    a32, b32 = np.asarray(g1, np.float32), np.asarray(g0, np.float32)
+    rel = np.max(np.abs(a32 - b32)) / (np.max(np.abs(b32)) + 1e-6)
+    assert rel < 1e-3, f"dW max-rel {rel}"
