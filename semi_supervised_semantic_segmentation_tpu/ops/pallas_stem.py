@@ -12,7 +12,11 @@ input — K = 256 contraction lanes at k=7 instead of 3.
 
 Measured (one v5e chip, 16x512x512x3, round 4): XLA 7x7 stem fwd 1.57
 ms/step in the config-3 trace; this kernel + layout transposes ~0.6 ms
-standalone (numbers in BASELINE.md).
+standalone.  Whole-step A/B (round 5, scripts/bench_stem_ab.py): the
+standalone win does NOT survive in context — config-3 step 82.5-82.7 ms
+with the kernel vs 82.0-82.1 with XLA's conv (boundary transposes +
+lost fusion), so 'conv' stays the default and this kernel is a
+non-default option (numbers in BASELINE.md).
 
 Layout: the kernel consumes the s2d input as NCHW [N, 12, H2p, W2p]
 (W in lanes, rows in sublanes) produced by one XLA transpose of the uint8-
