@@ -88,13 +88,17 @@ def main():
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--bl", type=int, default=0)
     ap.add_argument("--bu", type=int, default=0)
+    ap.add_argument(
+        "--legs", type=str, default="conv,pallas,conv,pallas",
+        help="comma-separated stem impls to bench in order (e.g. 'conv' "
+        "for a single leg when scanning env/XLA-flag variations)")
     args = ap.parse_args()
     path, bl, bu, iters = CONFIGS[args.config]
     bl, bu = args.bl or bl, args.bu or bu
     iters = args.iters or iters
     n_img = bl + bu
 
-    for impl in ("conv", "pallas", "conv", "pallas"):
+    for impl in args.legs.split(","):
         ms = bench(path, bl, bu, iters, impl)
         print(
             f"config {args.config} stem={impl:6s} {bl}+{bu}: "
