@@ -101,6 +101,53 @@ def test_ssl_step_runs_sharded():
     assert int(s.step) == 1
 
 
+@pytest.mark.slow
+def test_staged_tta_eval_sharded_equals_unsharded():
+    """The production eval path (staged per-scale TTA: sliding windows +
+    flip + multi-scale, `make_staged_eval_step`) under the 8-device data
+    mesh must produce the SAME confusion matrix as unsharded — the train
+    step and fused confmat merge are already pinned above; this pins the
+    user-facing eval.py route (VERDICT r4 item 7)."""
+    from semi_supervised_semantic_segmentation_tpu.engine.evaluator import (
+        make_staged_eval_step,
+        use_staged,
+    )
+
+    cfg = tiny_cfg(
+        "supervised", crop=32,
+        **{
+            "data.eval_mode": "sliding",
+            "data.eval_stride": 24,
+            "data.eval_flip": True,
+            "data.eval_scales": [0.75, 1.0, 1.5],
+        },
+    )
+    assert use_staged(cfg)  # this IS the route eval.py takes for config 4/5
+    model = build_model(cfg)
+    method = get_method("supervised")
+    state = method.init_state(cfg, model, jax.random.key(4), 10)
+    rng = np.random.RandomState(9)
+    batch = {
+        "image": (rng.rand(8, 48, 96, 3) * 255).astype(np.uint8),
+        "label": rng.randint(0, 4, (8, 48, 96)).astype(np.int32),
+        "size": np.tile(np.asarray([[48, 96]], np.int32), (8, 1)),
+    }
+
+    eval_step = make_staged_eval_step(cfg, model)
+    cm_single = np.asarray(eval_step(state.params, state.batch_stats, batch))
+
+    mesh = mesh_lib.make_mesh()
+    cm_sharded = np.asarray(
+        eval_step(
+            mesh_lib.replicate(state.params, mesh),
+            mesh_lib.replicate(state.batch_stats, mesh),
+            mesh_lib.shard_batch(batch, mesh),
+        )
+    )
+    np.testing.assert_array_equal(cm_single, cm_sharded)
+    assert cm_sharded.sum() == 8 * 48 * 96
+
+
 def test_pallas_conv_shard_map_equals_unsharded():
     """conv3x3_bn_nchw under a data>1 mesh runs per-shard via shard_map
     (GSPMD cannot partition the opaque custom call) with the BN sums
