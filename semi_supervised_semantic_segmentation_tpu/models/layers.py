@@ -339,10 +339,11 @@ class ConvNormAct(nn.Module):
 def max_pool_same_as_torch(x, window: int = 3, stride: int = 2, pad: int = 1):
     """torch MaxPool2d(kernel=3, stride=2, padding=1) with -inf padding.
 
-    The (3, 2, 1) even-spatial case routes through ops/pooling.py, whose
-    custom VJP replaces XLA's serialized SelectAndScatter backward with a
-    dense tap-mask interleave (~3 ms/step of the config-3 profile; same
-    routing incl. first-max ties — tests/test_pooling.py)."""
+    SSTPU_POOL_BWD=vect routes the (3, 2, 1) even-spatial case through
+    ops/pooling.py, whose custom VJP replaces XLA's SelectAndScatter
+    backward with a dense tap-mask interleave — measured SLOWER whole-step
+    (ops/pooling.py docstring), so the default is the plain reduce_window
+    path."""
     if window == 3 and stride == 2 and pad == 1 and pooling.supported(x.shape):
         return pooling.max_pool_3x3s2(x)
     return nn.max_pool(

@@ -1,12 +1,14 @@
 """MaxPool 3x3/stride-2/pad-1 with a vectorized backward (rebuilds the
 reference's cuDNN pooling surface, SURVEY.md N1; torch MaxPool2d(3,2,1)
-semantics).
+semantics).  NON-DEFAULT — opt in with SSTPU_POOL_BWD=vect; see
+``supported`` for the whole-step measurement that killed it as default.
 
-Why: XLA differentiates ``reduce_window(max)`` through SelectAndScatter,
-which executes as a serialized window scan on TPU — 2.97 ms/step of the
-config-3 profile (three [16,256,256,64]-shaped instances, round-5 trace)
-and ~8% of the config-2 U-Net step.  The backward here computes the same
-routing as dense vector ops instead:
+The motivating trace: XLA differentiates ``reduce_window(max)`` through
+SelectAndScatter, a serialized window scan showing 2.97 ms/step on the
+config-3 profile (three [16,256,256,64]-shaped instances, round-5 trace).
+The whole-step A/B then showed that scan is largely latency-hidden while
+this formulation's ~20 dense passes are not.  The backward computes the
+same routing as dense vector ops:
 
   1. the 9 window taps are stride-2 slices of the (-inf-padded) input, so
      the per-window FIRST-max index (SelectAndScatter's tie rule: strict >
@@ -37,7 +39,20 @@ def _reference_pool(x):
 
 
 def supported(shape) -> bool:
-    """Eligibility for the fast backward: [N, H, W, C] with even H, W."""
+    """Eligibility for the vectorized backward: [N, H, W, C], even H and W,
+    AND the opt-in env SSTPU_POOL_BWD=vect.
+
+    NOT the default: the whole-step A/B (one v5e, 50 iters, 2026-08-21)
+    measured the dense tap-mask formulation SLOWER in context — config 2
+    (16+16 @256²) 42.3 vs 29.3 ms/step, config 3 (8+8 @512²) 87.4 vs
+    82.0 — the ~20 full-tensor passes (9 strided-slice taps, 8
+    compare/selects, 9 masks, interleaves) cost more HBM traffic than
+    XLA's SelectAndScatter scan, which was partially latency-hidden.
+    Kept as a tested formulation record (tests/test_pooling.py)."""
+    import os
+
+    if os.environ.get("SSTPU_POOL_BWD") != "vect":
+        return False
     return len(shape) == 4 and shape[1] % 2 == 0 and shape[2] % 2 == 0
 
 

@@ -75,16 +75,22 @@ def test_bwd_matches_torch(case):
     np.testing.assert_allclose(np.asarray(g_fast), gt, atol=1e-6)
 
 
-def test_module_path_uses_fast_pool_and_matches():
-    """max_pool_same_as_torch routes even shapes through the custom VJP and
-    odd shapes through nn.max_pool; outputs identical either way."""
+def test_module_path_uses_fast_pool_and_matches(monkeypatch):
+    """max_pool_same_as_torch routes even shapes through the custom VJP only
+    under the SSTPU_POOL_BWD=vect opt-in (the vectorized backward measured
+    slower whole-step, ops/pooling.py); outputs identical either way."""
     from semi_supervised_semantic_segmentation_tpu.models.layers import (
         max_pool_same_as_torch,
     )
+    from semi_supervised_semantic_segmentation_tpu.ops import pooling
 
     rng = np.random.RandomState(3)
     x_even = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
     x_odd = jnp.asarray(rng.randn(1, 15, 17, 4).astype(np.float32))
+    assert not pooling.supported(x_even.shape)  # default: reduce_window
+    monkeypatch.setenv("SSTPU_POOL_BWD", "vect")
+    assert pooling.supported(x_even.shape)
+    assert not pooling.supported(x_odd.shape)
     np.testing.assert_array_equal(
         np.asarray(max_pool_same_as_torch(x_even)),
         np.asarray(_xla_pool(x_even)),
