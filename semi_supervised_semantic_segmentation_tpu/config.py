@@ -57,6 +57,10 @@ class DataConfig:
     # range — the distribution gap pseudo-labeling needs to show a gain
     # over supervised-only without real data.
     synthetic_gapped: bool = False
+    # Synthetic canvas side in pixels (0 = the 96^2 test default).  Set to
+    # >= crop_size for production-crop convergence runs so the random
+    # scale-crop sees a real canvas instead of upsampled 96^2 texture.
+    synthetic_canvas: int = 0
     # Eval: "whole" images resized to eval_size, or "sliding" window.
     eval_mode: str = "whole"
     eval_size: int = 0  # 0 = use native (padded) size

@@ -351,16 +351,20 @@ def build_dataset(cfg: Config, role: str):
         gap = d.synthetic_gapped
         full = (0.0, 1.0) if gap else (0.0, 0.0)
         narrow = (0.0, 0.25) if gap else (0.0, 0.0)
+        hw = (d.synthetic_canvas,) * 2 if d.synthetic_canvas > 0 else (96, 96)
         if role == "val":
             return SyntheticDataset(d.num_classes, max(d.synthetic_size // 2, 8),
+                                    image_hw=hw,
                                     seed=cfg.train.seed + 1, labeled=True,
                                     appearance_range=full)
         if role == "unlabeled":
             return SyntheticDataset(d.num_classes, d.synthetic_size,
+                                    image_hw=hw,
                                     seed=cfg.train.seed + 2, labeled=False,
                                     appearance_range=full)
         n = max(1, int(round(d.synthetic_size * split_fraction(d.split))))
-        return SyntheticDataset(d.num_classes, n, seed=cfg.train.seed, labeled=True,
+        return SyntheticDataset(d.num_classes, n, image_hw=hw,
+                                seed=cfg.train.seed, labeled=True,
                                 appearance_range=narrow)
 
     if d.dataset == "voc":
