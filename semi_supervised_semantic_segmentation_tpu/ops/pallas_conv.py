@@ -221,7 +221,7 @@ def _kernel(x_hbm, a_ref, y_ref, xbuf, halo, sem, *, nb, c, w, interpret,
 
 
 def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
-                   pre=False, stats=False):
+                   pre=False, stats=False, post=False):
     """K-stacked variant of ``_kernel``: for each dw tap, ONE dot
     [C, 3C] x [3C, sub*W] against a dh-stacked row buffer (the three dh row
     windows concatenated along the contraction dim).  3 dots of K=3C per
@@ -236,13 +236,30 @@ def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
     accumulated across the grid: per-channel sum and sum-of-squares of the
     bf16-rounded y (the NEXT BatchNorm's batch statistics, for free under
     the MXU shadow).
+
+    ``post``: the CBR dx-epilogue fusion.  When this kernel computes the
+    backward conv dt = conv(dY, k_flipped) for a conv whose input was
+    t = relu(x*mul+add), the chain dx = where(x*mul+add > 0, dt*mul, 0)
+    plus the fold-parameter reductions dmul = sum(dtm*x), dadd = sum(dtm)
+    used to be a separate XLA elementwise pass (read dt + read x + write
+    dx per conv backward).  ``post`` streams x alongside the dY window
+    (Mosaic-pipelined BlockSpec), applies the mask/scale in VMEM under
+    the MXU shadow, writes dx directly, and accumulates (dmul, dadd) into
+    the [2, C] output — dt never exists in HBM.  Inputs appended: x block
+    [1, C, BH, W] and three [C, 1] f32 vectors (bf16-ROUNDED mul and add
+    reproducing the XLA mask's bf16 fma bit-exactly, and the RAW f32 mul
+    for the dx product, matching ops/pallas_conv._cbr_fn's XLA chain).
     """
     refs = list(refs)
     pre_refs = None
     if pre:
         pre_refs = (refs.pop(0)[:], refs.pop(0)[:])
+    post_refs = None
+    if post:
+        post_refs = (refs.pop(0), refs.pop(0)[:], refs.pop(0)[:],
+                     refs.pop(0)[:])
     y_ref = refs.pop(0)
-    s_ref = refs.pop(0) if stats else None
+    s_ref = refs.pop(0) if (stats or post) else None
     xbuf, halo, sem = refs
 
     n, i = pl.program_id(0), pl.program_id(1)
@@ -252,7 +269,7 @@ def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
     @pl.when(step == 0)
     def _():
         _win_start(x_hbm, xbuf, halo, sem, 0, 0, nb)
-        if stats:
+        if stats or post:
             s_ref[:] = jnp.zeros_like(s_ref)
 
     @pl.when(step + 1 < total)
@@ -286,6 +303,21 @@ def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
     right = jnp.where(wcol == w - 1, 0.0, roll(tmp[2], BH * w - 1))
     y = tmp[1] + left + right
     yb = y.astype(y_ref.dtype)
+    if post:
+        x_blk, mul_r, add_r, mul_raw = post_refs
+        xb = x_blk[0].reshape(c, BH * w)
+        xf = xb.astype(jnp.float32)
+        # The mask's bf16 fma, reproduced exactly (see _win_wait_fill):
+        # x*mul rounded to bf16, +add rounded to bf16, strict > 0.
+        tp = (xf * mul_r).astype(y_ref.dtype)
+        # compare in f32 (Mosaic has no bf16 cmpf); upcasting the ROUNDED
+        # bf16 value is exact, so the mask equals the bf16 comparison.
+        t2 = (tp.astype(jnp.float32) + add_r).astype(y_ref.dtype)
+        dtm = jnp.where(t2.astype(jnp.float32) > 0, yb.astype(jnp.float32), 0.0)
+        y_ref[0] = (dtm * mul_raw).astype(y_ref.dtype).reshape(c, BH, w)
+        s_ref[0:1, :] += jnp.sum(dtm * xf, axis=1)[None, :]
+        s_ref[1:2, :] += jnp.sum(dtm, axis=1)[None, :]
+        return
     y_ref[0] = yb.reshape(c, BH, w)
     if stats:
         y32 = yb.astype(jnp.float32)
@@ -294,9 +326,13 @@ def _kernel_kstack(x_hbm, a_ref, *refs, nb, c, w, interpret, sub=BH,
 
 
 def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
-                       variant="outshift", pre=None, stats=False, vma=None):
+                       variant="outshift", pre=None, stats=False, post=None,
+                       vma=None):
     """pre = optional (mul, add) [C, 1] compute-dtype arrays (kstack only);
     stats=True additionally returns [2, C] f32 (sum, sum-of-squares) of y.
+    post = optional (x_orig, mul_rounded, add_rounded, mul_raw) for the CBR
+    dx-epilogue fusion (kstack only; see _kernel_kstack) — the output
+    becomes dx and a [2, C] f32 (dmul, dadd) is returned alongside.
     vma = varying-across-mesh-axes set for the outputs (required when the
     op runs inside a ``check_vma=True`` shard_map)."""
     n, c, h, w = x.shape
@@ -304,9 +340,10 @@ def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
     if variant == "kstack":
         kern = functools.partial(_kernel_kstack, nb=nb, c=c, w=w,
                                  interpret=interpret, sub=sub,
-                                 pre=pre is not None, stats=stats)
+                                 pre=pre is not None, stats=stats,
+                                 post=post is not None)
     else:
-        assert pre is None and not stats
+        assert pre is None and not stats and post is None
         kern = functools.partial(_kernel, nb=nb, c=c, w=w, interpret=interpret,
                                  sub=sub, s_inner=s_inner)
     in_specs = [
@@ -317,10 +354,18 @@ def _conv3x3_nchw_impl(x, a, *, interpret=False, sub=SUB, s_inner=True,
     if pre is not None:
         in_specs += [pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0))] * 2
         args += [pre[0], pre[1]]
+    if post is not None:
+        in_specs += [
+            pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0)),
+            pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0)),
+            pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0)),
+            pl.BlockSpec((c, 1), lambda nn_, ii: (0, 0)),
+        ]
+        args += list(post)
     kw = {} if vma is None else {"vma": vma}
     out_specs = pl.BlockSpec((1, c, BH, w), lambda nn_, ii: (nn_, 0, ii, 0))
     out_shape = jax.ShapeDtypeStruct((n, c, h, w), x.dtype, **kw)
-    if stats:
+    if stats or post is not None:
         out_specs = (out_specs, pl.BlockSpec((2, c), lambda nn_, ii: (0, 0)))
         out_shape = (out_shape, jax.ShapeDtypeStruct((2, c), jnp.float32, **kw))
     return pl.pallas_call(
@@ -621,6 +666,13 @@ def conv3x3_nchw(x, k, interpret: bool = False):
 # (``_dw_kernel_dyroll`` with ``fuse``) rather than as a separate XLA pass.
 
 
+def _dx_fuse() -> bool:
+    """Opt-in for the CBR dx-epilogue fusion (read at trace time)."""
+    import os
+
+    return os.environ.get("SSTPU_CBR_DX_FUSE") == "1"
+
+
 @functools.lru_cache(maxsize=8)
 def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
     """``axis``: mesh axis name when the op runs inside a data-sharded
@@ -652,6 +704,20 @@ def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
         return _conv3x3_nchw_impl(
             dY, pack(k_bwd, dY.dtype), interpret=interpret, sub=FWD_SUB,
             variant="kstack", vma=vma)
+
+    def dx_conv_post(dY, k, x, mul, add):
+        # dx-epilogue fusion: the dt -> dx transform (relu mask from the
+        # SAME bf16 fma the fwd kernels applied, scale by raw f32 mul) and
+        # the (dmul, dadd) reductions run inside the dx kernel — the
+        # separate XLA pass and dt's HBM round-trip are gone.  Returns
+        # (dx, [2, C] f32 = (dmul, dadd)).
+        k_bwd = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+        mul_r = mul.astype(x.dtype).astype(jnp.float32)[:, None]
+        add_r = add.astype(x.dtype).astype(jnp.float32)[:, None]
+        mul_raw = mul.astype(jnp.float32)[:, None]
+        return _conv3x3_nchw_impl(
+            dY, pack(k_bwd, dY.dtype), interpret=interpret, sub=FWD_SUB,
+            variant="kstack", post=(x, mul_r, add_r, mul_raw), vma=vma)
 
 
     def dk_dY(x, y, cot, p=None):
@@ -697,6 +763,17 @@ def _cbr_fn(interpret: bool, pre: bool, axis: str | None = None):
         p = (mul.astype(x.dtype).astype(jnp.float32)[:, None],
              add.astype(x.dtype).astype(jnp.float32)[:, None])
         dk, dY = dk_dY(x, y, cot, p=p)
+        if _dx_fuse():
+            # dx + the input-transform chain in ONE kernel (dx-epilogue
+            # fusion, opt-in SSTPU_CBR_DX_FUSE=1): same expressions as the
+            # XLA pass below, dx bit-identical, the [C]-reductions
+            # differing only in f32 summation order.  Whole-step A/B on
+            # config 5 (one v5e, 12 iters, 2026-08-21): 473.8 -> 477.9 ms
+            # at 4+4 — the replaced XLA pass was latency-hidden while the
+            # epilogue extends the DMA/VPU-bound kernel's own critical
+            # path, so the default stays the XLA chain (BASELINE.md).
+            dx, ds = dx_conv_post(dY, k, x, mul, add)
+            return dx, dk, ds[0], ds[1]
         # dt = grad wrt the transformed input t = relu(x*mul+add).
         dt = dx_conv(dY, k)
         # chain through the input transform (mask from the same bf16 fma

@@ -124,6 +124,43 @@ def test_conv3x3_bn_nchw_fused_matches_reference():
         assert rel < tol[name], f"{name}: max-rel {rel}"
 
 
+def test_cbr_dx_epilogue_fusion_matches_default(monkeypatch):
+    """SSTPU_CBR_DX_FUSE=1 moves the dt->dx transform + (dmul, dadd)
+    reductions into the dx kernel: dx must be bit-identical to the default
+    XLA chain; dmul/dadd equal up to f32 summation order.  (Opt-in: the
+    whole-step A/B measured the fusion slower in context, see
+    pallas_conv._cbr_fn.)"""
+    from semi_supervised_semantic_segmentation_tpu.ops import pallas_conv
+
+    rng = np.random.RandomState(7)
+    c = 16
+    x = jnp.asarray(rng.randn(2, c, 64, 32).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.05
+    mul = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    add = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    co = jnp.asarray(rng.randn(2, c, 64, 32).astype(np.float32))
+    ws = jnp.asarray(rng.randn(2, c).astype(np.float32) * 0.1)
+
+    def loss(x, k, mul, add):
+        y, s = pallas_conv.conv3x3_bn_nchw(x, k, mul, add, interpret=True)
+        return jnp.vdot(y.astype(jnp.float32), co) + jnp.vdot(s, ws)
+
+    pallas_conv._cbr_fn.cache_clear()
+    g_def = jax.grad(loss, (0, 1, 2, 3))(x, k, mul, add)
+    monkeypatch.setenv("SSTPU_CBR_DX_FUSE", "1")
+    pallas_conv._cbr_fn.cache_clear()
+    g_fuse = jax.grad(loss, (0, 1, 2, 3))(x, k, mul, add)
+    pallas_conv._cbr_fn.cache_clear()
+
+    np.testing.assert_array_equal(
+        np.asarray(g_fuse[0], np.float32), np.asarray(g_def[0], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(g_fuse[1]), np.asarray(g_def[1]))
+    for name, a, b in zip(("dmul", "dadd"), g_fuse[2:], g_def[2:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-2, err_msg=name)
+
+
 def test_unsupported_shapes_are_gated():
     # H not a multiple of 32 (tiny eval crops) and C > 128 fall back.
     assert not supported((2, 8, 48, 16), 8, 8)
