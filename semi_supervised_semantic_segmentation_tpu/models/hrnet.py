@@ -211,6 +211,13 @@ class HRNet(nn.Module):
     # 'conv' | 's2d': formulation of the stride-2 fuse-down/transition convs
     # (see HRModule.fuse_s2d).
     fuse_impl: str = "conv"
+    # 'conv' | 's2d': the two 3x3/s2 stem convs via explicit 2x2
+    # space-to-depth (Cin 3->12 / 64->256 fills contraction lanes denser;
+    # the config-5 trace shows the stem1 dW fusion at 2.9 ms/step reading
+    # the 1024^2 Cin=3 input at 3/128-lane density).  Exact same math and
+    # parameter layout (models/layers.py::S2DStemConv).  Ignored when
+    # spatial_mesh is set (the H-sharded SpatialConv path wins).
+    stem_impl: str = "conv"
     # 'xla' | 'pallas': branch BasicBlock conv path (see HRModule).
     branch_conv: str = "xla"
     # Mesh for the pallas kernels' data-sharded shard_map (multi-chip DP).
@@ -248,14 +255,15 @@ class HRNet(nn.Module):
                 nn.remat(HRModule, static_argnums=(2,)), **mod_kw
             )
 
+        stem_s2d = self.stem_impl == "s2d" and self.spatial_mesh is None
         x = ConvNormAct(
             64, (3, 3), strides=(2, 2), spatial_mesh=self.spatial_mesh,
-            name="stem1", **kw
+            s2d=stem_s2d, name="stem1", **kw
         )(x, train)
         c1 = x  # stride 2
         x = ConvNormAct(
             64, (3, 3), strides=(2, 2), spatial_mesh=self.spatial_mesh,
-            name="stem2", **kw
+            s2d=stem_s2d, name="stem2", **kw
         )(x, train)
         if self.spatial_mesh is not None and not self.is_initializing():
             # Leave the spatially-partitioned region: the rest of the net

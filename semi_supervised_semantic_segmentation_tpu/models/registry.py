@@ -102,6 +102,7 @@ class SegModel(nn.Module):
                     else "module"
                 ),
                 fuse_impl=self.fuse_impl,
+                stem_impl="s2d" if self.stem_impl == "s2d" else "conv",
                 branch_conv=self.branch_conv,
                 dp_mesh=self.dp_mesh,
                 spatial_mesh=self.spatial_mesh,

@@ -335,3 +335,23 @@ def test_hrnet_head_up_first_matches_conv_first():
     np.testing.assert_allclose(
         np.asarray(oa), np.asarray(ob), rtol=1e-4, atol=1e-4
     )
+
+
+def test_hrnet_stem_s2d_matches_conv_same_params():
+    """HRNet stem_impl='s2d' (2x2 space-to-depth stem1/stem2) computes the
+    SAME function with the SAME parameter tree as the plain conv stem —
+    checkpoints and torch imports are formulation-independent."""
+    from semi_supervised_semantic_segmentation_tpu.models.hrnet import HRNet
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32), jnp.bfloat16)
+    m_conv = HRNet(width=8, stage_modules=(1, 1, 1), dtype=jnp.bfloat16)
+    m_s2d = HRNet(width=8, stage_modules=(1, 1, 1), dtype=jnp.bfloat16,
+                  stem_impl="s2d")
+    v = m_conv.init(jax.random.PRNGKey(0), x, False)
+    o1 = m_conv.apply(v, x, False)
+    o2 = m_s2d.apply(v, x, False)  # SAME variables
+    for k_ in o1:
+        np.testing.assert_allclose(
+            np.asarray(o1[k_], np.float32), np.asarray(o2[k_], np.float32),
+            rtol=2e-2, atol=2e-2, err_msg=k_)
